@@ -1,0 +1,361 @@
+"""The lifted PGO quadratic problem  f(X) = 0.5 <X Q, X> + <X, G>.
+
+TPU-native replacement of the reference's PoseGraph data matrices +
+QuadraticProblem (reference: src/PoseGraph.cpp:381-613,
+src/QuadraticProblem.cpp:29-83). Instead of materializing the connection
+Laplacian Q as a scalar sparse matrix (Eigen::SparseMatrix + Cholmod), we keep
+its (d+1)x(d+1) block structure explicitly:
+
+  Q = A Omega A^T  for the block incidence A (block col k: -T_k at tail i,
+  I at head j) and Omega_k = diag(w*kappa ... w*kappa, w*tau), so per edge k:
+
+    Q_ii += T_k Omega_k T_k^T      Q_ij += -T_k Omega_k = -E_k
+    Q_jj += Omega_k                Q_ji += -E_k^T
+
+Shared (inter-robot) edges contribute only diagonal blocks to the local Q
+(PoseGraph.cpp:395-459) plus the linear term G built from cached neighbor
+poses (PoseGraph.cpp:493-580). Priors add diagonal blocks and linear terms
+with kappa=1e4 / tau=1e2 (PoseGraph.cpp:17-18).
+
+The Hessian-vector product (X Q) — the innermost op of every tCG iteration
+(QuadraticProblem.cpp:49-54) — becomes: one batched (r,dh)x(dh,dh) matmul
+against the diagonal blocks + two gathered batched matmuls and segment-sums
+over private edges. Everything is static-shaped and jit-compatible; edge
+weights (GNC) are plain array entries, so reweighting never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_tpu.ops import lifted
+from dpgo_tpu.types import PRECONDITIONER_SHIFT, PRIOR_KAPPA, PRIOR_TAU
+
+
+# ---------------------------------------------------------------------------
+# Problem data pytrees
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "priv_i", "priv_j", "priv_T", "priv_kappa", "priv_tau", "priv_weight",
+        "shared_idx", "shared_T", "shared_kappa", "shared_tau", "shared_weight",
+        "shared_outgoing", "shared_nbr_slot", "shared_mask",
+        "prior_idx", "prior_pose", "prior_mask",
+    ],
+    meta_fields=["n", "d"],
+)
+@dataclasses.dataclass(frozen=True)
+class LocalProblem:
+    """Static-shaped arrays describing one agent's local pose graph.
+
+    Private edges (odometry + private loop closures) have both endpoints local.
+    Shared edges reference one local pose (`shared_idx`) and one neighbor pose
+    held in an external buffer at `shared_nbr_slot`; `shared_outgoing` marks
+    edges whose tail is local (reference: PoseGraph.cpp:412-458 branches).
+    `shared_mask` zeroes edges whose neighbor is inactive/unavailable
+    (reference: PoseGraph.cpp:418-430).
+    """
+
+    n: int
+    d: int
+    # private edges: (mp,) / (mp, dh, dh)
+    priv_i: jax.Array
+    priv_j: jax.Array
+    priv_T: jax.Array
+    priv_kappa: jax.Array
+    priv_tau: jax.Array
+    priv_weight: jax.Array
+    # shared edges: (ms,) / (ms, dh, dh)
+    shared_idx: jax.Array
+    shared_T: jax.Array
+    shared_kappa: jax.Array
+    shared_tau: jax.Array
+    shared_weight: jax.Array
+    shared_outgoing: jax.Array  # bool
+    shared_nbr_slot: jax.Array  # int32 into neighbor-pose buffer
+    shared_mask: jax.Array  # float multiplier in {0, 1}
+    # priors: (npr,) / (npr, r, dh)
+    prior_idx: jax.Array
+    prior_pose: jax.Array
+    prior_mask: jax.Array
+
+    @property
+    def dh(self) -> int:
+        return self.d + 1
+
+    @property
+    def num_private(self) -> int:
+        return int(self.priv_i.shape[0])
+
+    @property
+    def num_shared(self) -> int:
+        return int(self.shared_idx.shape[0])
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["diag", "off_i", "off_j", "off_E", "G", "precond_chol"],
+    meta_fields=["n", "d"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuadraticData:
+    """Assembled data matrices of f(X) = 0.5 <X Q, X> + <X, G>.
+
+    diag        : (n, dh, dh) diagonal blocks of Q
+    off_i/off_j : (mp,) endpoints of private edges
+    off_E       : (mp, dh, dh) with Q_ij = -E_k, Q_ji = -E_k^T
+    G           : (n, r, dh) linear term
+    precond_chol: (n, dh, dh) lower Cholesky factors of the block-Jacobi
+                  preconditioner (Q_ii + 0.1 I); semantics follow
+                  PoseGraph.cpp:598-613 with the Cholmod LDL^T of the full
+                  matrix relaxed to its block diagonal (TPU-friendly batched
+                  solve; any SPD preconditioner preserves tCG correctness).
+    """
+
+    n: int
+    d: int
+    diag: jax.Array
+    off_i: jax.Array
+    off_j: jax.Array
+    off_E: jax.Array
+    G: jax.Array
+    precond_chol: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Assembly
+# ---------------------------------------------------------------------------
+
+def _omega(kappa, tau, weight, d: int):
+    """Per-edge weight diagonal diag(w k, ..., w k, w t): (m, dh)."""
+    wk = (weight * kappa)[:, None] * jnp.ones((1, d), kappa.dtype)
+    wt = (weight * tau)[:, None]
+    return jnp.concatenate([wk, wt], axis=1)
+
+
+def _diag_embed(v):
+    """(m, dh) -> (m, dh, dh) diagonal blocks."""
+    return v[..., None] * jnp.eye(v.shape[-1], dtype=v.dtype)
+
+
+def build_quadratic_data(
+    problem: LocalProblem,
+    nbr_poses: jax.Array,
+    r: int,
+    precond_shift: float = PRECONDITIONER_SHIFT,
+) -> QuadraticData:
+    """Assemble Q blocks, linear term G, and preconditioner factors.
+
+    nbr_poses: (p, r, dh) buffer of neighbor public poses indexed by
+    `shared_nbr_slot` (entries for masked edges may hold garbage — they are
+    multiplied by shared_mask). Matches constructQ/constructG semantics
+    (reference: PoseGraph.cpp:381-580).
+    """
+    n, d, dh = problem.n, problem.d, problem.d + 1
+    dtype = problem.priv_T.dtype
+
+    # --- private edges ---
+    om_p = _omega(problem.priv_kappa, problem.priv_tau, problem.priv_weight, d)
+    E = problem.priv_T * om_p[:, None, :]  # T @ diag(om): column scaling
+    W = jnp.einsum("mab,mcb->mac", E, problem.priv_T)  # E @ T^T
+
+    diag = jnp.zeros((n, dh, dh), dtype)
+    diag = diag.at[problem.priv_i].add(W)
+    diag = diag.at[problem.priv_j].add(_diag_embed(om_p))
+
+    # --- shared edges (diagonal contributions) ---
+    om_s = _omega(problem.shared_kappa, problem.shared_tau, problem.shared_weight, d)
+    om_s = om_s * problem.shared_mask[:, None]
+    Es = problem.shared_T * om_s[:, None, :]
+    Ws = jnp.einsum("mab,mcb->mac", Es, problem.shared_T)
+    out_f = problem.shared_outgoing[:, None, None].astype(dtype)
+    diag = diag.at[problem.shared_idx].add(out_f * Ws + (1.0 - out_f) * _diag_embed(om_s))
+
+    # --- priors (diagonal) ---
+    npr = problem.prior_idx.shape[0]
+    if npr > 0:
+        om_prior = jnp.concatenate(
+            [jnp.full((npr, d), PRIOR_KAPPA, dtype), jnp.full((npr, 1), PRIOR_TAU, dtype)],
+            axis=1,
+        ) * problem.prior_mask[:, None]
+        diag = diag.at[problem.prior_idx].add(_diag_embed(om_prior))
+
+    # --- linear term G ---
+    G = jnp.zeros((n, r, dh), dtype)
+    if problem.num_shared > 0:
+        Xnbr = nbr_poses[problem.shared_nbr_slot]  # (ms, r, dh)
+        # outgoing edge (tail local):  G_i += -X_j Omega T^T = -X_j E^T
+        # incoming edge (head local):  G_j += -X_i T Omega   = -X_i E
+        contrib_out = -jnp.einsum("mrb,mab->mra", Xnbr, Es)
+        contrib_in = -jnp.einsum("mrb,mba->mra", Xnbr, Es)
+        contrib = jnp.where(problem.shared_outgoing[:, None, None], contrib_out, contrib_in)
+        G = G.at[problem.shared_idx].add(contrib)
+    if npr > 0:
+        G = G.at[problem.prior_idx].add(-problem.prior_pose * om_prior[:, None, :])
+
+    # --- block-Jacobi preconditioner of (Q + shift I) ---
+    shifted = diag + precond_shift * jnp.eye(dh, dtype=dtype)
+    precond_chol = jnp.linalg.cholesky(shifted)
+
+    return QuadraticData(
+        n=n, d=d, diag=diag,
+        off_i=problem.priv_i, off_j=problem.priv_j, off_E=E,
+        G=G, precond_chol=precond_chol,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operator evaluations (reference: QuadraticProblem.cpp:29-83)
+# ---------------------------------------------------------------------------
+
+def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
+    """(V Q) in block form: out_j = sum_i V_i Q_ij. V: (n, r, dh)."""
+    out = jnp.einsum("nrb,nbc->nrc", V, qd.diag)
+    if qd.off_E.shape[0] > 0:
+        Vi = V[qd.off_i]
+        Vj = V[qd.off_j]
+        out = out.at[qd.off_j].add(-jnp.einsum("mrb,mbc->mrc", Vi, qd.off_E))
+        out = out.at[qd.off_i].add(-jnp.einsum("mrb,mcb->mrc", Vj, qd.off_E))
+    return out
+
+
+def cost(qd: QuadraticData, X: jax.Array) -> jax.Array:
+    """f(X) = 0.5 <X Q, X> + <X, G> (reference: QuadraticProblem.cpp:29-41)."""
+    return 0.5 * jnp.vdot(q_matvec(qd, X), X) + jnp.vdot(X, qd.G)
+
+
+def euc_grad(qd: QuadraticData, X: jax.Array) -> jax.Array:
+    """Euclidean gradient X Q + G (reference: QuadraticProblem.cpp:43-47)."""
+    return q_matvec(qd, X) + qd.G
+
+
+def rie_grad(qd: QuadraticData, X: jax.Array) -> jax.Array:
+    """Riemannian gradient: tangent projection of the Euclidean gradient
+    (reference: QuadraticProblem.cpp:71-79)."""
+    return lifted.proj_tangent(X, euc_grad(qd, X))
+
+
+def rie_grad_norm(qd: QuadraticData, X: jax.Array) -> jax.Array:
+    return lifted.norm(rie_grad(qd, X))
+
+
+def rie_hess_vec(qd: QuadraticData, X: jax.Array, S: jax.Array, V: jax.Array) -> jax.Array:
+    """Riemannian Hessian action for the embedded product manifold.
+
+    For a Stiefel block with Euclidean gradient g_i and symmetric
+    S_i = sym(Y_i^T g_i):  Hess[eta]_i = P_Y( (eta Q)_i - eta_i S_i ).
+    The translation factor is Euclidean: Hess = (eta Q)_i.
+    S is precomputed once per outer RTR iteration via `hess_correction`.
+
+    (ROPTLIB applies the same Euclidean-to-Riemannian Hessian conversion
+    inside RTRNewton; the reference supplies EucHessianEta = V Q at
+    QuadraticProblem.cpp:49-54.)
+    """
+    HV = q_matvec(qd, V)
+    corr = lifted.rotations(V) @ S
+    Hrot = lifted.stiefel_proj_tangent(
+        lifted.rotations(X), lifted.rotations(HV) - corr
+    )
+    return lifted.assemble(Hrot, lifted.translations(HV))
+
+
+def hess_correction(X: jax.Array, eg: jax.Array) -> jax.Array:
+    """S_i = sym(Y_i^T g_i^rot): (n, d, d), the Weingarten correction term."""
+    YtG = jnp.einsum(
+        "nra,nrb->nab", lifted.rotations(X), lifted.rotations(eg)
+    )
+    return 0.5 * (YtG + jnp.swapaxes(YtG, -1, -2))
+
+
+def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array) -> jax.Array:
+    """Preconditioner: solve (Q_bj + 0.1 I) out = V blockwise, then project to
+    the tangent space at X (reference: QuadraticProblem.cpp:56-69)."""
+    L = qd.precond_chol
+    # Solve L L^T Z^T = V^T per block; V blocks are (r, dh) => solve on dh axis.
+    Vt = jnp.swapaxes(V, -1, -2)  # (n, dh, r)
+    Z = jax.scipy.linalg.cho_solve((L, True), Vt)
+    out = jnp.swapaxes(Z, -1, -2)
+    return lifted.proj_tangent(X, out)
+
+
+# ---------------------------------------------------------------------------
+# Host-side constructors
+# ---------------------------------------------------------------------------
+
+def make_local_problem(
+    n: int,
+    d: int,
+    priv_i,
+    priv_j,
+    priv_T,
+    priv_kappa,
+    priv_tau,
+    priv_weight,
+    shared_idx=None,
+    shared_T=None,
+    shared_kappa=None,
+    shared_tau=None,
+    shared_weight=None,
+    shared_outgoing=None,
+    shared_nbr_slot=None,
+    shared_mask=None,
+    prior_idx=None,
+    prior_pose=None,
+    prior_mask=None,
+    r: Optional[int] = None,
+    dtype=jnp.float64,
+) -> LocalProblem:
+    """Build a LocalProblem pytree from host arrays, filling empty defaults."""
+    dh = d + 1
+    r = d if r is None else r
+
+    def arr(x, shape, dt=dtype):
+        if x is None:
+            return jnp.zeros(shape, dt)
+        return jnp.asarray(x, dt)
+
+    ms = 0 if shared_idx is None else len(shared_idx)
+    npr = 0 if prior_idx is None else len(prior_idx)
+    return LocalProblem(
+        n=n,
+        d=d,
+        priv_i=jnp.asarray(priv_i, jnp.int32),
+        priv_j=jnp.asarray(priv_j, jnp.int32),
+        priv_T=jnp.asarray(priv_T, dtype),
+        priv_kappa=jnp.asarray(priv_kappa, dtype),
+        priv_tau=jnp.asarray(priv_tau, dtype),
+        priv_weight=jnp.asarray(priv_weight, dtype),
+        shared_idx=arr(shared_idx, (ms,), jnp.int32),
+        shared_T=arr(shared_T, (ms, dh, dh)),
+        shared_kappa=arr(shared_kappa, (ms,)),
+        shared_tau=arr(shared_tau, (ms,)),
+        shared_weight=arr(shared_weight, (ms,)),
+        shared_outgoing=arr(shared_outgoing, (ms,), bool),
+        shared_nbr_slot=arr(shared_nbr_slot, (ms,), jnp.int32),
+        shared_mask=arr(shared_mask, (ms,)),
+        prior_idx=arr(prior_idx, (npr,), jnp.int32),
+        prior_pose=arr(prior_pose, (npr, r, dh)),
+        prior_mask=arr(prior_mask, (npr,)),
+    )
+
+
+def from_private_measurements(edges, n: int, d: int, dtype=jnp.float64) -> LocalProblem:
+    """LocalProblem with only private edges, from an EdgeArrays (all endpoints
+    must belong to the same robot)."""
+    from dpgo_tpu.measurements import homogeneous
+
+    T = homogeneous(edges.R, edges.t).astype(np.float64)
+    return make_local_problem(
+        n=n, d=d,
+        priv_i=edges.p1, priv_j=edges.p2, priv_T=T,
+        priv_kappa=edges.kappa, priv_tau=edges.tau, priv_weight=edges.weight,
+        dtype=dtype,
+    )

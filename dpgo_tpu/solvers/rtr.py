@@ -1,0 +1,328 @@
+"""Jit-compiled Riemannian trust-region solver with preconditioned truncated CG.
+
+Replaces ROPTLIB::RTRNewton as driven by the reference's QuadraticOptimizer
+(reference: src/QuadraticOptimizer.cpp:50-108):
+  * stop on absolute Riemannian gradient norm (GRAD_F criterion),
+  * outer-iteration cap (RTR_iterations, default 3),
+  * inner tCG cap (RTR_tCG_iterations, default 50),
+  * initial radius RTR_initial_radius (default 100), max radius 5x initial,
+  * the Max_Iteration==1 "shrink trust region until a step is accepted" mode
+    used for every RBCD step (QuadraticOptimizer.cpp:80-98): at most 10
+    shrinks by 1/4, else return the initial iterate.
+
+The truncated CG follows the Steihaug-Toint scheme of Absil-Baker-Gallivan
+(the algorithm ROPTLIB implements), with the trust region measured in the
+preconditioner norm via the standard e_Pe/e_Pd/d_Pd recurrences and the
+theta/kappa residual stopping rule (theta=1, kappa=0.1 — ROPTLIB defaults).
+
+Everything runs inside lax.while_loop with static shapes: one compilation per
+problem shape, zero host round-trips per solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dpgo_tpu import quadratic
+from dpgo_tpu.ops import lifted
+from dpgo_tpu.quadratic import QuadraticData
+from dpgo_tpu.types import ROptParameters
+
+
+_THETA = 1.0
+_KAPPA = 0.1
+_RHO_PRIME = 0.1
+_MAX_SHRINKS = 10  # QuadraticOptimizer.cpp:90 ("total_steps > 10")
+
+
+class TCGResult(NamedTuple):
+    eta: jax.Array
+    Heta: jax.Array
+    hit_boundary: jax.Array  # bool: negative curvature or radius exceeded
+    num_iters: jax.Array
+
+
+class RTRState(NamedTuple):
+    X: jax.Array
+    fx: jax.Array
+    grad: jax.Array  # Riemannian gradient
+    gnorm: jax.Array
+    S: jax.Array  # Weingarten correction sym(Y^T g_euc)
+    radius: jax.Array
+    it: jax.Array
+    accepted: jax.Array  # whether the latest step was accepted
+    tcg_iters: jax.Array
+
+
+class RTRStats(NamedTuple):
+    f_init: jax.Array
+    gnorm_init: jax.Array
+    f_opt: jax.Array
+    gnorm_opt: jax.Array
+    iterations: jax.Array
+    accepted: jax.Array
+    tcg_iters: jax.Array
+
+
+def _tcg(
+    qd: QuadraticData,
+    X: jax.Array,
+    S: jax.Array,
+    grad: jax.Array,
+    radius: jax.Array,
+    max_inner: int,
+) -> TCGResult:
+    """Preconditioned Steihaug-Toint truncated CG for
+    min_eta <grad, eta> + 0.5 <eta, H eta>  s.t. ||eta||_P <= radius."""
+    dtype = X.dtype
+    zero = jnp.zeros_like(grad)
+
+    r0 = grad
+    z0 = quadratic.apply_precond(qd, X, r0)
+    delta0 = -z0
+    r_r0 = lifted.inner(r0, r0)
+    z_r0 = lifted.inner(z0, r0)
+    norm_r0 = jnp.sqrt(r_r0)
+    # residual target: ||r|| <= ||r0|| * min(kappa, ||r0||^theta)
+    r_target = norm_r0 * jnp.minimum(jnp.asarray(_KAPPA, dtype), norm_r0**_THETA)
+
+    # carry: (j, eta, Heta, r, z, delta, e_Pe, e_Pd, d_Pd, z_r, done, boundary)
+    def cond(c):
+        j, *_, done, _ = c
+        return jnp.logical_and(j < max_inner, jnp.logical_not(done))
+
+    def body(c):
+        j, eta, Heta, r, z, delta, e_Pe, e_Pd, d_Pd, z_r, done, boundary = c
+        Hd = quadratic.rie_hess_vec(qd, X, S, delta)
+        d_Hd = lifted.inner(delta, Hd)
+        alpha = z_r / d_Hd
+        e_Pe_new = e_Pe + 2.0 * alpha * e_Pd + alpha * alpha * d_Pd
+
+        # negative curvature or leaving the trust region -> go to the boundary
+        hit = jnp.logical_or(d_Hd <= 0.0, e_Pe_new >= radius * radius)
+        disc = e_Pd * e_Pd + d_Pd * (radius * radius - e_Pe)
+        tau = (-e_Pd + jnp.sqrt(jnp.maximum(disc, 0.0))) / d_Pd
+        step = jnp.where(hit, tau, alpha)
+
+        eta_n = eta + step * delta
+        Heta_n = Heta + step * Hd
+
+        r_n = r + alpha * Hd
+        r_r_n = lifted.inner(r_n, r_n)
+        resid_ok = jnp.sqrt(r_r_n) <= r_target
+
+        z_n = quadratic.apply_precond(qd, X, r_n)
+        z_r_n = lifted.inner(z_n, r_n)
+        beta = z_r_n / z_r
+        delta_n = -z_n + beta * delta
+        e_Pd_n = beta * (e_Pd + alpha * d_Pd)
+        d_Pd_n = z_r_n + beta * beta * d_Pd
+
+        done_n = jnp.logical_or(hit, resid_ok)
+        return (
+            j + 1,
+            eta_n,
+            Heta_n,
+            jnp.where(hit, r, r_n),
+            jnp.where(hit, z, z_n),
+            jnp.where(hit, delta, delta_n),
+            jnp.where(hit, e_Pe, e_Pe_new),
+            jnp.where(hit, e_Pd, e_Pd_n),
+            jnp.where(hit, d_Pd, d_Pd_n),
+            jnp.where(hit, z_r, z_r_n),
+            done_n,
+            jnp.logical_or(boundary, hit),
+        )
+
+    init = (
+        jnp.asarray(0, jnp.int32), zero, zero, r0, z0, delta0,
+        jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype), z_r0, z_r0,
+        jnp.asarray(False), jnp.asarray(False),
+    )
+    j, eta, Heta, *_, _done, boundary = jax.lax.while_loop(cond, body, init)
+    return TCGResult(eta=eta, Heta=Heta, hit_boundary=boundary, num_iters=j)
+
+
+def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only: bool):
+    """One outer RTR iteration: tCG, rho test, radius update."""
+    tcg = _tcg(qd, state.X, state.S, state.grad, state.radius, max_inner)
+    X_new = lifted.retract(state.X, tcg.eta)
+    f_new = quadratic.cost(qd, X_new)
+
+    model_decrease = -(lifted.inner(state.grad, tcg.eta) + 0.5 * lifted.inner(tcg.eta, tcg.Heta))
+    # small regularization guards rho against cancellation near convergence
+    reg = 1e3 * jnp.finfo(state.fx.dtype).eps * jnp.maximum(1.0, jnp.abs(state.fx))
+    rho = (state.fx - f_new + reg) / (model_decrease + reg)
+
+    accept = rho > _RHO_PRIME
+    if shrink_only:
+        # Max_Iteration==1 mode: caller controls the radius (shrinks by 4 on
+        # rejection); inside one Run() the radius is fixed.
+        radius_new = state.radius
+    else:
+        radius_new = jnp.where(
+            rho < 0.25,
+            0.25 * state.radius,
+            jnp.where(
+                jnp.logical_and(rho > 0.75, tcg.hit_boundary),
+                jnp.minimum(2.0 * state.radius, max_radius),
+                state.radius,
+            ),
+        )
+
+    X_next = jnp.where(accept, X_new, state.X)
+    f_next = jnp.where(accept, f_new, state.fx)
+
+    eg = quadratic.euc_grad(qd, X_next)
+    grad_next = lifted.proj_tangent(X_next, eg)
+    S_next = quadratic.hess_correction(X_next, eg)
+    # avoid recomputation when rejected (values identical anyway)
+    return RTRState(
+        X=X_next,
+        fx=f_next,
+        grad=grad_next,
+        gnorm=lifted.norm(grad_next),
+        S=S_next,
+        radius=radius_new,
+        it=state.it + 1,
+        accepted=accept,
+        tcg_iters=state.tcg_iters + tcg.num_iters,
+    )
+
+
+def _initial_state(qd, Y0, radius):
+    eg = quadratic.euc_grad(qd, Y0)
+    grad = lifted.proj_tangent(Y0, eg)
+    return RTRState(
+        X=Y0,
+        fx=quadratic.cost(qd, Y0),
+        grad=grad,
+        gnorm=lifted.norm(grad),
+        S=quadratic.hess_correction(Y0, eg),
+        radius=jnp.asarray(radius, Y0.dtype),
+        it=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(False),
+        tcg_iters=jnp.asarray(0, jnp.int32),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "max_inner", "shrink_until_accept"),
+)
+def rtr_solve(
+    qd: QuadraticData,
+    Y0: jax.Array,
+    gradnorm_tol: float,
+    initial_radius: float,
+    max_iterations: int = 3,
+    max_inner: int = 50,
+    shrink_until_accept: bool = False,
+) -> Tuple[jax.Array, RTRStats]:
+    """Riemannian trust-region solve of the lifted PGO quadratic.
+
+    With shrink_until_accept=True this reproduces the reference's per-RBCD-step
+    mode (QuadraticOptimizer.cpp:80-98): a single RTR iteration retried with
+    radius/4 until acceptance (max 10 shrinks, else the initial iterate is
+    returned). Otherwise it runs a standard RTR loop for up to max_iterations.
+    """
+    state0 = _initial_state(qd, Y0, initial_radius)
+    f_init, g_init = state0.fx, state0.gnorm
+    # No optimization if gradient is already below threshold
+    # (QuadraticOptimizer.cpp:56-58).
+    skip = state0.gnorm < gradnorm_tol
+
+    if shrink_until_accept:
+        def cond(c):
+            state, attempts = c
+            return jnp.logical_and(
+                jnp.logical_not(state.accepted), attempts <= _MAX_SHRINKS
+            )
+
+        def body(c):
+            state, attempts = c
+            trial = state._replace(radius=state.radius)
+            nxt = _rtr_iteration(qd, trial, max_inner, max_radius=state.radius,
+                                 shrink_only=True)
+            # on rejection: keep the original iterate, shrink the radius by 4
+            nxt = nxt._replace(
+                radius=jnp.where(nxt.accepted, nxt.radius, 0.25 * state.radius)
+            )
+            return nxt, attempts + 1
+
+        final, _ = jax.lax.while_loop(
+            cond, body, (state0, jnp.asarray(0, jnp.int32))
+        )
+    else:
+        max_radius = 5.0 * jnp.asarray(initial_radius, Y0.dtype)
+
+        def cond(state):
+            return jnp.logical_and(
+                state.it < max_iterations, state.gnorm >= gradnorm_tol
+            )
+
+        def body(state):
+            return _rtr_iteration(qd, state, max_inner, max_radius, shrink_only=False)
+
+        final = jax.lax.while_loop(cond, body, state0)
+
+    X_out = jnp.where(skip, Y0, final.X)
+    stats = RTRStats(
+        f_init=f_init,
+        gnorm_init=g_init,
+        f_opt=jnp.where(skip, f_init, final.fx),
+        gnorm_opt=jnp.where(skip, g_init, final.gnorm),
+        iterations=jnp.where(skip, 0, final.it),
+        accepted=jnp.where(skip, True, final.accepted),
+        tcg_iters=final.tcg_iters,
+    )
+    return X_out, stats
+
+
+@jax.jit
+def rgd_step(
+    qd: QuadraticData,
+    Y0: jax.Array,
+    stepsize: float,
+    use_preconditioner: bool = True,
+) -> jax.Array:
+    """One preconditioned Riemannian gradient step with retraction
+    (reference: QuadraticOptimizer.cpp:110-137)."""
+    g = quadratic.rie_grad(qd, Y0)
+    direction = jnp.where(
+        use_preconditioner, quadratic.apply_precond(qd, Y0, g), g
+    )
+    return lifted.retract(Y0, -stepsize * direction)
+
+
+def optimize(qd: QuadraticData, Y0: jax.Array, params: ROptParameters):
+    """Dispatch mirroring QuadraticOptimizer::optimize (reference:
+    QuadraticOptimizer.cpp:26-48). Returns (Yopt, RTRStats)."""
+    from dpgo_tpu.types import ROptMethod
+
+    if params.method == ROptMethod.RTR:
+        return rtr_solve(
+            qd,
+            Y0,
+            gradnorm_tol=params.gradnorm_tol,
+            initial_radius=params.RTR_initial_radius,
+            max_iterations=params.RTR_iterations,
+            max_inner=params.RTR_tCG_iterations,
+            shrink_until_accept=(params.RTR_iterations == 1),
+        )
+    Y = rgd_step(qd, Y0, params.RGD_stepsize, params.RGD_use_preconditioner)
+    stats = RTRStats(
+        f_init=quadratic.cost(qd, Y0),
+        gnorm_init=quadratic.rie_grad_norm(qd, Y0),
+        f_opt=quadratic.cost(qd, Y),
+        gnorm_opt=quadratic.rie_grad_norm(qd, Y),
+        iterations=jnp.asarray(1, jnp.int32),
+        accepted=jnp.asarray(True),
+        tcg_iters=jnp.asarray(0, jnp.int32),
+    )
+    return Y, stats
