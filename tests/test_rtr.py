@@ -1,0 +1,99 @@
+"""RTR solver tests: convergence, monotonicity, shrink mode semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_tpu import quadratic
+from dpgo_tpu.measurements import EdgeArrays
+from dpgo_tpu.ops import lifted
+from dpgo_tpu.solvers import rtr as rtr_mod
+from tests import oracle
+
+
+def _problem(rng, n=8, d=3, r=5):
+    meas, _ = oracle.random_measurements(rng, n, d, 4)
+    edges = EdgeArrays.from_measurements(meas)
+    problem = quadratic.from_private_measurements(edges, n=n, d=d)
+    return quadratic.build_quadratic_data(problem, jnp.zeros((1, r, d + 1)), r=r)
+
+
+def test_rtr_converges():
+    rng = np.random.default_rng(30)
+    n, d, r = 8, 3, 5
+    qd = _problem(rng, n, d, r)
+    Y0 = lifted.identity_lifted(n, r, d)
+    Y, stats = rtr_mod.rtr_solve(
+        qd, Y0, gradnorm_tol=1e-8, initial_radius=100.0,
+        max_iterations=200, max_inner=200,
+    )
+    assert float(stats.gnorm_opt) < 1e-8
+    assert float(stats.f_opt) <= float(stats.f_init)
+    assert lifted.check_stiefel(np.asarray(Y)[:, :, :d])
+
+
+def test_rtr_monotone_decrease():
+    rng = np.random.default_rng(31)
+    qd = _problem(rng)
+    Y = lifted.identity_lifted(8, 5, 3)
+    f_prev = float(quadratic.cost(qd, Y))
+    for _ in range(5):
+        Y, stats = rtr_mod.rtr_solve(
+            qd, Y, gradnorm_tol=1e-12, initial_radius=1.0,
+            max_iterations=1, max_inner=50, shrink_until_accept=True,
+        )
+        f_new = float(quadratic.cost(qd, Y))
+        assert f_new <= f_prev + 1e-9
+        f_prev = f_new
+
+
+def test_rtr_skips_when_converged():
+    """No optimization when |grad| already below tol
+    (QuadraticOptimizer.cpp:56-58)."""
+    rng = np.random.default_rng(32)
+    qd = _problem(rng)
+    Y0 = lifted.identity_lifted(8, 5, 3)
+    # First converge
+    Y, _ = rtr_mod.rtr_solve(qd, Y0, 1e-9, 100.0, max_iterations=200, max_inner=200)
+    # Then re-solve with a loose tol: must return the same iterate, 0 iters
+    Y2, stats = rtr_mod.rtr_solve(qd, Y, 1e-2, 100.0, max_iterations=3, max_inner=50)
+    assert int(stats.iterations) == 0
+    np.testing.assert_allclose(np.asarray(Y2), np.asarray(Y), atol=0)
+
+
+def test_shrink_until_accept_mode():
+    """Max_Iteration==1 mode accepts a step (possibly after radius shrinks)
+    and decreases the cost (QuadraticOptimizer.cpp:80-98)."""
+    rng = np.random.default_rng(33)
+    qd = _problem(rng)
+    Y0 = lifted.identity_lifted(8, 5, 3)
+    Y, stats = rtr_mod.rtr_solve(
+        qd, Y0, gradnorm_tol=1e-9, initial_radius=100.0,
+        max_iterations=1, max_inner=50, shrink_until_accept=True,
+    )
+    assert bool(stats.accepted)
+    assert float(stats.f_opt) < float(stats.f_init)
+
+
+def test_rgd_step_decreases_cost():
+    rng = np.random.default_rng(34)
+    qd = _problem(rng)
+    Y0 = lifted.identity_lifted(8, 5, 3)
+    f0 = float(quadratic.cost(qd, Y0))
+    Y1 = rtr_mod.rgd_step(qd, Y0, 1e-3, True)
+    assert float(quadratic.cost(qd, Y1)) < f0
+
+
+def test_rtr_matches_scipy_on_euclidean_subproblem():
+    """Sanity: at r=d with rotations locked near optimum, the RTR solution's
+    Euclidean gradient projected to the tangent space vanishes (first-order
+    stationarity)."""
+    rng = np.random.default_rng(35)
+    n, d, r = 6, 3, 3
+    meas, _ = oracle.random_measurements(rng, n, d, 3)
+    edges = EdgeArrays.from_measurements(meas)
+    problem = quadratic.from_private_measurements(edges, n=n, d=d)
+    qd = quadratic.build_quadratic_data(problem, jnp.zeros((1, r, d + 1)), r=r)
+    Y0 = lifted.identity_lifted(n, r, d)
+    Y, stats = rtr_mod.rtr_solve(qd, Y0, 1e-10, 100.0, max_iterations=300, max_inner=300)
+    g = quadratic.rie_grad(qd, Y)
+    assert float(lifted.norm(g)) < 1e-9
