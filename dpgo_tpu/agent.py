@@ -165,6 +165,8 @@ class PGOAgent:
         return self.r
 
     def get_status(self) -> PGOAgentStatus:
+        # refresh the state field on read (reference: PGOAgent.h:342-346)
+        self.status.state = self.state
         return dataclasses.replace(self.status)
 
     def set_lifting_matrix(self, M: np.ndarray) -> None:
