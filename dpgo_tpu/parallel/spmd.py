@@ -1,0 +1,570 @@
+"""SPMD mesh-parallel RBCD: agents as positions along a device mesh axis.
+
+This is the TPU-native flagship path. Where the reference moves PoseDicts by
+message passing (ROS / direct calls; see SURVEY.md §2.4), here the whole team
+is one SPMD program over a `jax.sharding.Mesh` with an "agents" axis:
+
+  * every agent's block of the lifted variable X lives in one stacked array
+    (N, n_max, r, d+1), sharded along the agent axis;
+  * public-pose exchange is ONE `lax.all_gather` of the (small) public-pose
+    buffers over the agent axis — the ICI replaces the network;
+  * each device runs the batched local RTR solve for its agents (vmap over
+    agents-per-device, everything MXU-batched);
+  * status exchange (block gradient norms for greedy selection, termination
+    metrics, global cost) is a `psum`/`all_gather` of scalars.
+
+Update modes:
+  * 'all'     — every agent optimizes its block every round (Jacobi-style
+                parallel block-coordinate descent; the bulk-synchronous form
+                of the RA-L 2020 asynchronous update model). Uses all devices
+                every round; the default for throughput.
+  * 'greedy'  — only the agent with the max block gradient norm optimizes
+                (the reference example's rule, MultiRobotExample.cpp:233-247);
+                sequential-RBCD parity.
+  * 'uniform' — one uniformly-random agent optimizes (RBCD paper's sampling).
+
+Nesterov acceleration follows PGOAgent.cpp:899-936: globally synchronized
+gamma/alpha recursions, Y/V auxiliary iterates with SVD projection, periodic
+restart every `restart_interval` rounds.
+
+All shapes are static (agents padded to n_max poses / mp_max private edges /
+ms_max shared edges / p_max public poses); per-round data changes are array
+values only, so the whole optimization — including the nested RTR/tCG
+while_loops — is one compiled XLA program per problem shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dpgo_tpu import quadratic
+from dpgo_tpu.measurements import RelativeSEMeasurement, homogeneous
+from dpgo_tpu.ops import lifted
+from dpgo_tpu.parallel.partition import partition_measurements
+from dpgo_tpu.solvers import rtr as rtr_mod
+from dpgo_tpu.types import PoseID
+
+
+# ---------------------------------------------------------------------------
+# Problem container
+# ---------------------------------------------------------------------------
+
+_DATA_FIELDS = [
+    "priv_i", "priv_j", "priv_T", "priv_kappa", "priv_tau", "priv_weight",
+    "shared_idx", "shared_T", "shared_kappa", "shared_tau", "shared_weight",
+    "shared_outgoing", "shared_nbr_robot", "shared_nbr_slot",
+    "shared_fixed_weight",
+    "pub_idx", "pub_mask", "pose_mask",
+]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=_DATA_FIELDS,
+    meta_fields=["num_agents", "n_max", "d", "r"],
+)
+@dataclasses.dataclass(frozen=True)
+class SPMDProblem:
+    """Stacked per-agent local problems, leading axis = agent.
+
+    Padding: edges beyond an agent's real count carry weight 0 and index 0;
+    poses beyond n_i are masked by pose_mask. Neighbor addressing per shared
+    edge is (robot, slot-in-that-robot's-public-buffer), resolved against the
+    all-gathered public-pose tensor.
+    """
+
+    num_agents: int
+    n_max: int
+    d: int
+    r: int
+    # private edges (N, mp) / (N, mp, dh, dh)
+    priv_i: jax.Array
+    priv_j: jax.Array
+    priv_T: jax.Array
+    priv_kappa: jax.Array
+    priv_tau: jax.Array
+    priv_weight: jax.Array
+    # shared edges (N, ms) / (N, ms, dh, dh)
+    shared_idx: jax.Array
+    shared_T: jax.Array
+    shared_kappa: jax.Array
+    shared_tau: jax.Array
+    shared_weight: jax.Array
+    shared_outgoing: jax.Array  # bool
+    shared_nbr_robot: jax.Array
+    shared_nbr_slot: jax.Array
+    shared_fixed_weight: jax.Array  # bool (GNC)
+    # public-pose bookkeeping
+    pub_idx: jax.Array  # (N, p_max) local frame ids
+    pub_mask: jax.Array  # (N, p_max)
+    pose_mask: jax.Array  # (N, n_max)
+
+    @property
+    def dh(self) -> int:
+        return self.d + 1
+
+
+class SPMDState(NamedTuple):
+    X: jax.Array  # (N, n_max, r, dh)
+    Y: jax.Array  # Nesterov aux (== X when acceleration off)
+    V: jax.Array
+    gamma: jax.Array  # scalar
+    it: jax.Array  # int32 round counter
+
+
+class RoundMetrics(NamedTuple):
+    cost: jax.Array  # global objective sum_e cost_e
+    gradnorm: jax.Array  # global Riemannian gradient norm
+    max_rel_change: jax.Array  # max over agents of maxTranslationDistance
+
+
+@dataclasses.dataclass(frozen=True)
+class SPMDConfig:
+    mode: str = "all"  # 'all' | 'greedy' | 'uniform'
+    acceleration: bool = True
+    restart_interval: int = 30
+    gradnorm_tol: float = 1e-2
+    # local RTR budget per round (reference: DPGO_types.h:59-61 defaults)
+    rtr_iterations: int = 1
+    rtr_tcg_iterations: int = 50
+    rtr_initial_radius: float = 100.0
+    rtr_gradnorm_tol: float = 1e-2
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Host-side builder
+# ---------------------------------------------------------------------------
+
+def build_spmd_problem(
+    measurements: Sequence[RelativeSEMeasurement],
+    num_poses: int,
+    num_agents: int,
+    r: int,
+    dtype=jnp.float64,
+) -> Tuple[SPMDProblem, List[Tuple[int, int]]]:
+    """Partition a global dataset and pack it into stacked padded arrays.
+    Returns (problem, global index ranges per agent)."""
+    d = measurements[0].d
+    dh = d + 1
+    odometry, private_lcs, shared_lcs, ranges = partition_measurements(
+        measurements, num_poses, num_agents
+    )
+
+    n_max = max(end - start for start, end in ranges)
+    priv_lists = [odometry[a] + private_lcs[a] for a in range(num_agents)]
+    mp_max = max(1, max(len(p) for p in priv_lists))
+    ms_max = max(1, max(len(s) for s in shared_lcs))
+
+    # public-pose slots: for each agent, sorted local frame ids that appear in
+    # any shared edge (the agent's public poses)
+    pub_sets: List[List[int]] = []
+    for a in range(num_agents):
+        s = set()
+        for m in shared_lcs[a]:
+            if m.r1 == a:
+                s.add(m.p1)
+            else:
+                s.add(m.p2)
+        pub_sets.append(sorted(s))
+    p_max = max(1, max(len(s) for s in pub_sets))
+    slot_of = [
+        {fid: k for k, fid in enumerate(pub_sets[a])} for a in range(num_agents)
+    ]
+
+    def pad(x, shape, dt=np.float64):
+        out = np.zeros(shape, dt)
+        if len(x):
+            arr = np.asarray(x, dt)
+            out[tuple(slice(0, s) for s in arr.shape)] = arr
+        return out
+
+    P_i = np.zeros((num_agents, mp_max), np.int32)
+    P_j = np.zeros((num_agents, mp_max), np.int32)
+    P_T = np.zeros((num_agents, mp_max, dh, dh))
+    P_k = np.zeros((num_agents, mp_max))
+    P_t = np.zeros((num_agents, mp_max))
+    P_w = np.zeros((num_agents, mp_max))
+    S_idx = np.zeros((num_agents, ms_max), np.int32)
+    S_T = np.zeros((num_agents, ms_max, dh, dh))
+    S_k = np.zeros((num_agents, ms_max))
+    S_t = np.zeros((num_agents, ms_max))
+    S_w = np.zeros((num_agents, ms_max))
+    S_out = np.zeros((num_agents, ms_max), bool)
+    S_nr = np.zeros((num_agents, ms_max), np.int32)
+    S_ns = np.zeros((num_agents, ms_max), np.int32)
+    S_fx = np.zeros((num_agents, ms_max), bool)
+    PUB = np.zeros((num_agents, p_max), np.int32)
+    PUBM = np.zeros((num_agents, p_max))
+    POSM = np.zeros((num_agents, n_max))
+
+    for a in range(num_agents):
+        n_a = ranges[a][1] - ranges[a][0]
+        POSM[a, :n_a] = 1.0
+        for k, m in enumerate(priv_lists[a]):
+            P_i[a, k] = m.p1
+            P_j[a, k] = m.p2
+            P_T[a, k] = homogeneous(m.R, m.t)
+            P_k[a, k] = m.kappa
+            P_t[a, k] = m.tau
+            P_w[a, k] = m.weight
+        for k, m in enumerate(shared_lcs[a]):
+            S_T[a, k] = homogeneous(m.R, m.t)
+            S_k[a, k] = m.kappa
+            S_t[a, k] = m.tau
+            S_w[a, k] = m.weight
+            S_fx[a, k] = m.fixed_weight
+            if m.r1 == a:
+                S_idx[a, k] = m.p1
+                S_out[a, k] = True
+                S_nr[a, k] = m.r2
+                S_ns[a, k] = slot_of[m.r2][m.p2]
+            else:
+                S_idx[a, k] = m.p2
+                S_out[a, k] = False
+                S_nr[a, k] = m.r1
+                S_ns[a, k] = slot_of[m.r1][m.p1]
+        for k, fid in enumerate(pub_sets[a]):
+            PUB[a, k] = fid
+            PUBM[a, k] = 1.0
+
+    problem = SPMDProblem(
+        num_agents=num_agents, n_max=n_max, d=d, r=r,
+        priv_i=jnp.asarray(P_i), priv_j=jnp.asarray(P_j),
+        priv_T=jnp.asarray(P_T, dtype),
+        priv_kappa=jnp.asarray(P_k, dtype), priv_tau=jnp.asarray(P_t, dtype),
+        priv_weight=jnp.asarray(P_w, dtype),
+        shared_idx=jnp.asarray(S_idx), shared_T=jnp.asarray(S_T, dtype),
+        shared_kappa=jnp.asarray(S_k, dtype), shared_tau=jnp.asarray(S_t, dtype),
+        shared_weight=jnp.asarray(S_w, dtype),
+        shared_outgoing=jnp.asarray(S_out),
+        shared_nbr_robot=jnp.asarray(S_nr), shared_nbr_slot=jnp.asarray(S_ns),
+        shared_fixed_weight=jnp.asarray(S_fx),
+        pub_idx=jnp.asarray(PUB), pub_mask=jnp.asarray(PUBM, dtype),
+        pose_mask=jnp.asarray(POSM, dtype),
+    )
+    return problem, ranges
+
+
+def initial_state(
+    problem: SPMDProblem,
+    X0: Optional[np.ndarray] = None,
+    ranges: Optional[List[Tuple[int, int]]] = None,
+) -> SPMDState:
+    """Initial SPMD state from a global (n, r, dh) iterate (e.g. lifted
+    chordal initialization) or padded identity."""
+    N, n_max, r, dh = problem.num_agents, problem.n_max, problem.r, problem.dh
+    X = np.tile(
+        np.asarray(lifted.identity_lifted(n_max, r, problem.d)), (N, 1, 1, 1)
+    )
+    if X0 is not None:
+        assert ranges is not None
+        X0 = np.asarray(X0)
+        for a, (s, e) in enumerate(ranges):
+            X[a, : e - s] = X0[s:e]
+    Xj = jnp.asarray(X)
+    return SPMDState(
+        X=Xj, Y=Xj, V=Xj,
+        gamma=jnp.asarray(0.0, Xj.dtype),
+        it=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-agent pieces (vmapped over the agents-per-device axis)
+# ---------------------------------------------------------------------------
+
+def _agent_local_problem(problem: SPMDProblem, a_priv, a_shared) -> quadratic.LocalProblem:
+    """Assemble a LocalProblem for ONE agent from sliced arrays."""
+    (pi, pj, pT, pk, pt, pw) = a_priv
+    (sidx, sT, sk, st, sw, sout) = a_shared
+    r = problem.r
+    # The caller resolves neighbor poses per edge, so the LocalProblem's
+    # neighbor buffer is indexed by edge position (identity slots).
+    ms = sidx.shape[0]
+    return quadratic.LocalProblem(
+        n=problem.n_max, d=problem.d,
+        priv_i=pi, priv_j=pj, priv_T=pT,
+        priv_kappa=pk, priv_tau=pt, priv_weight=pw,
+        shared_idx=sidx, shared_T=sT,
+        shared_kappa=sk, shared_tau=st, shared_weight=sw,
+        shared_outgoing=sout,
+        shared_nbr_slot=jnp.arange(ms, dtype=jnp.int32),
+        shared_mask=jnp.ones_like(sw),
+        prior_idx=jnp.zeros((0,), jnp.int32),
+        prior_pose=jnp.zeros((0, r, problem.dh), sT.dtype),
+        prior_mask=jnp.zeros((0,), sT.dtype),
+    )
+
+
+def _edge_cost_terms(X, nbr, lp: quadratic.LocalProblem, outgoing_only: jax.Array):
+    """Sum of lifted edge costs for one agent:
+    private edges fully + shared edges attributed to the outgoing side, so the
+    team-wide psum equals the global objective <X Q_global, X>."""
+    d = lp.d
+    # private
+    Yi = X[lp.priv_i]
+    Yj = X[lp.priv_j]
+    Ri = Yi[..., :d] @ lp.priv_T[..., :d, :d]
+    rot = jnp.sum((Ri - Yj[..., :d]) ** 2, axis=(-2, -1))
+    ti = Yi[..., :d] @ lp.priv_T[..., :d, d:] + Yi[..., d:]
+    tr = jnp.sum((ti - Yj[..., d:]) ** 2, axis=(-2, -1))
+    c_priv = jnp.sum(lp.priv_weight * (lp.priv_kappa * rot + lp.priv_tau * tr))
+    # shared (only outgoing edges; tail = me, head = neighbor)
+    Xi = X[lp.shared_idx]
+    Ri = Xi[..., :d] @ lp.shared_T[..., :d, :d]
+    rot = jnp.sum((Ri - nbr[..., :d]) ** 2, axis=(-2, -1))
+    ti = Xi[..., :d] @ lp.shared_T[..., :d, d:] + Xi[..., d:]
+    tr = jnp.sum((ti - nbr[..., d:]) ** 2, axis=(-2, -1))
+    w = lp.shared_weight * outgoing_only
+    c_shared = jnp.sum(w * (lp.shared_kappa * rot + lp.shared_tau * tr))
+    return c_priv + c_shared
+
+
+def _agent_round(
+    problem: SPMDProblem,
+    cfg: SPMDConfig,
+    X0: jax.Array,  # (n_max, r, dh) starting point for the local solve
+    a_priv, a_shared,
+    nbr_poses: jax.Array,  # (ms, r, dh)
+    do_opt: jax.Array,  # scalar bool: does this agent optimize this round?
+):
+    """One agent's local round: build Q/G, masked RTR solve.
+    Returns (X_new, local riegradnorm at X0, cost contribution at X0)."""
+    lp = _agent_local_problem(problem, a_priv, a_shared)
+    qd = quadratic.build_quadratic_data(lp, nbr_poses, r=problem.r)
+
+    gnorm = quadratic.rie_grad_norm(qd, X0)
+
+    Xopt, _stats = rtr_mod.rtr_solve(
+        qd, X0,
+        gradnorm_tol=cfg.rtr_gradnorm_tol,
+        initial_radius=cfg.rtr_initial_radius,
+        max_iterations=cfg.rtr_iterations,
+        max_inner=cfg.rtr_tcg_iterations,
+        shrink_until_accept=(cfg.rtr_iterations == 1),
+    )
+    X_new = jnp.where(do_opt, Xopt, X0)
+    outgoing_only = a_shared[5].astype(X0.dtype)
+    cost = _edge_cost_terms(X0, nbr_poses, lp, outgoing_only)
+    return X_new, gnorm, cost
+
+
+# ---------------------------------------------------------------------------
+# The SPMD round (runs under shard_map; axis_name=None for single-program)
+# ---------------------------------------------------------------------------
+
+def _gather_pub(X_blk, pub_idx_blk, axis_name):
+    """Collect every agent's public poses: (N, p_max, r, dh), replicated."""
+    pub = jax.vmap(lambda Xa, idx: Xa[idx])(X_blk, pub_idx_blk)
+    if axis_name is None:
+        return pub
+    return jax.lax.all_gather(pub, axis_name, axis=0, tiled=True)
+
+
+def _psum(x, axis_name):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
+                agent_offset, state_blk: SPMDState, sel: jax.Array):
+    """One synchronous round for this device's block of agents.
+
+    sel: int32 — selected agent id for 'greedy'/'uniform' modes, or -1 for
+    'all'. agent_offset: global id of this device's first agent.
+    """
+    pr = problem_blk
+    A = pr.priv_i.shape[0]  # agents on this device
+    N = pr.num_agents
+    dtype = state_blk.X.dtype
+
+    a_priv = (pr.priv_i, pr.priv_j, pr.priv_T, pr.priv_kappa, pr.priv_tau,
+              pr.priv_weight)
+    a_shared = (pr.shared_idx, pr.shared_T, pr.shared_kappa, pr.shared_tau,
+                pr.shared_weight, pr.shared_outgoing)
+
+    agent_ids = agent_offset + jnp.arange(A, dtype=jnp.int32)
+    do_opt = jnp.where(sel < 0, jnp.ones(A, bool), agent_ids == sel)
+
+    def resolve_nbr(all_pub):
+        # (A, ms, r, dh) gather of each shared edge's neighbor pose
+        return all_pub[pr.shared_nbr_robot, pr.shared_nbr_slot]
+
+    if cfg.acceleration:
+        # gamma/alpha recursions are global scalars (PGOAgent.cpp:910-920)
+        gamma = (1.0 + jnp.sqrt(1.0 + 4.0 * N**2 * state_blk.gamma**2)) / (2.0 * N)
+        alpha = 1.0 / (gamma * N)
+        Y = lifted.project_lifted((1.0 - alpha) * state_blk.X + alpha * state_blk.V)
+        # aux public poses come from Y (PGOAgent.cpp:132-166)
+        all_pub_aux = _gather_pub(Y, pr.pub_idx, axis_name)
+        nbr_aux = resolve_nbr(all_pub_aux)
+        X_upd, gnorm_a, cost_a = jax.vmap(
+            partial(_agent_round, problem_blk, cfg)
+        )(Y, a_priv, a_shared, nbr_aux, do_opt)
+        # non-optimizing agents take X <- Y (PGOAgent.cpp:943-947)
+        V = lifted.project_lifted(state_blk.V + gamma * (X_upd - Y))
+        # periodic restart (PGOAgent.cpp:880-897), simplified: reset aux vars
+        restart = (state_blk.it + 1) % cfg.restart_interval == 0
+        gamma = jnp.where(restart, 0.0, gamma)
+        Y_out = jnp.where(restart, X_upd, Y)
+        V = jnp.where(restart, X_upd, V)
+        new_state = SPMDState(
+            X=X_upd, Y=Y_out, V=V,
+            gamma=jnp.asarray(gamma, dtype),
+            it=state_blk.it + 1,
+        )
+    else:
+        all_pub = _gather_pub(state_blk.X, pr.pub_idx, axis_name)
+        nbr = resolve_nbr(all_pub)
+        X_upd, gnorm_a, cost_a = jax.vmap(
+            partial(_agent_round, problem_blk, cfg)
+        )(state_blk.X, a_priv, a_shared, nbr, do_opt)
+        new_state = SPMDState(
+            X=X_upd, Y=X_upd, V=X_upd,
+            gamma=state_blk.gamma, it=state_blk.it + 1,
+        )
+
+    rel = jax.vmap(lifted.max_translation_distance)(new_state.X, state_blk.X)
+    metrics = RoundMetrics(
+        cost=_psum(jnp.sum(cost_a), axis_name),
+        gradnorm=jnp.sqrt(_psum(jnp.sum(gnorm_a**2), axis_name)),
+        max_rel_change=jax.lax.pmax(jnp.max(rel), axis_name)
+        if axis_name is not None
+        else jnp.max(rel),
+    )
+    return new_state, metrics, gnorm_a
+
+
+def _select_next(gnorm_all: jax.Array, cfg: SPMDConfig, it, key):
+    """Next selected agent: greedy argmax block gradnorm or uniform."""
+    if cfg.mode == "greedy":
+        return jnp.argmax(gnorm_all).astype(jnp.int32)
+    if cfg.mode == "uniform":
+        return jax.random.randint(
+            jax.random.fold_in(key, it), (), 0, gnorm_all.shape[0], jnp.int32
+        )
+    return jnp.asarray(-1, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Drivers
+# ---------------------------------------------------------------------------
+
+def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = None):
+    """Build the jitted one-round step: state -> (state, metrics).
+
+    With a mesh, the state and problem are sharded along the agent axis and
+    the round runs under shard_map ('agents' collectives over ICI). Without a
+    mesh, the same math runs as a single-device batched program.
+    """
+    N = problem.num_agents
+    key = jax.random.PRNGKey(cfg.seed)
+
+    if mesh is None:
+        def step(state: SPMDState, sel: jax.Array):
+            new_state, metrics, gnorm_a = _round_body(
+                problem, cfg, None, jnp.asarray(0, jnp.int32), state, sel
+            )
+            nxt = _select_next(gnorm_a, cfg, state.it, key)
+            return new_state, metrics, nxt
+
+        return jax.jit(step)
+
+    n_dev = mesh.devices.size
+    assert N % n_dev == 0, (
+        f"num_agents {N} must be a multiple of mesh size {n_dev}"
+    )
+    A = N // n_dev
+
+    blk_spec = P("agents")
+    rep = P()
+
+    def sharded_step(pr_blk: SPMDProblem, state_blk: SPMDState, sel):
+        dev = jax.lax.axis_index("agents")
+        offset = (dev * A).astype(jnp.int32)
+        new_state, metrics, gnorm_a = _round_body(
+            pr_blk, cfg, "agents", offset, state_blk, sel
+        )
+        gnorm_all = jax.lax.all_gather(gnorm_a, "agents", axis=0, tiled=True)
+        nxt = _select_next(gnorm_all, cfg, state_blk.it, key)
+        return new_state, metrics, nxt
+
+    state_specs = SPMDState(
+        X=blk_spec, Y=blk_spec, V=blk_spec, gamma=rep, it=rep
+    )
+    problem_specs = SPMDProblem(
+        num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
+        **{f: blk_spec for f in _DATA_FIELDS},
+    )
+    fn = jax.shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(problem_specs, state_specs, rep),
+        out_specs=(state_specs, RoundMetrics(rep, rep, rep), rep),
+        check_vma=False,
+    )
+
+    sharding = NamedSharding(mesh, blk_spec)
+    problem_dev = jax.tree.map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        problem,
+        is_leaf=lambda x: hasattr(x, "shape"),
+    )
+
+    @jax.jit
+    def step(state: SPMDState, sel: jax.Array):
+        return fn(problem_dev, state, sel)
+
+    return step
+
+
+def run_rbcd_spmd(
+    problem: SPMDProblem,
+    state: SPMDState,
+    cfg: SPMDConfig,
+    num_rounds: int,
+    mesh: Optional[Mesh] = None,
+    gradnorm_tol: Optional[float] = None,
+    check_every: int = 10,
+):
+    """Run synchronous RBCD rounds; host checks termination every
+    `check_every` rounds (one device sync). Returns (state, trace dict)."""
+    step = make_step_fn(problem, cfg, mesh)
+    sel = jnp.asarray(-1 if cfg.mode == "all" else 0, jnp.int32)
+    tol = cfg.gradnorm_tol if gradnorm_tol is None else gradnorm_tol
+
+    costs, gnorms = [], []
+    rounds = 0
+    while rounds < num_rounds:
+        burst = min(check_every, num_rounds - rounds)
+        for _ in range(burst):
+            state, metrics, sel = step(state, sel)
+            rounds += 1
+        costs.append(float(metrics.cost))
+        gnorms.append(float(metrics.gradnorm))
+        if gnorms[-1] < tol:
+            break
+    return state, {
+        "rounds": rounds,
+        "cost": costs,
+        "gradnorm": gnorms,
+    }
+
+
+def assemble_global(
+    state: SPMDState, ranges: List[Tuple[int, int]], num_poses: int
+) -> np.ndarray:
+    """(N, n_max, r, dh) sharded state -> global (n, r, dh) numpy iterate."""
+    X = np.asarray(state.X)
+    r, dh = X.shape[2], X.shape[3]
+    out = np.zeros((num_poses, r, dh))
+    for a, (s, e) in enumerate(ranges):
+        out[s:e] = X[a, : e - s]
+    return out

@@ -1,0 +1,124 @@
+"""SPMD mesh-parallel RBCD tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from dpgo_tpu import quadratic
+from dpgo_tpu.io.g2o import read_g2o_file
+from dpgo_tpu.ops import lifted
+from dpgo_tpu.parallel import spmd
+from dpgo_tpu.parallel.simulation import build_central_evaluation
+from dpgo_tpu.solvers.pgo import chordal_initialization
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    meas, n = read_g2o_file("/root/reference/data/tinyGrid3D.g2o")
+    r = 5
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=4, r=r)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    qd_central = build_central_evaluation(meas, n, r)
+    return meas, n, problem, ranges, state, qd_central
+
+
+def _global_metrics(qd_central, state, ranges, n):
+    X = spmd.assemble_global(state, ranges, n)
+    cost = float(quadratic.cost(qd_central, jnp.asarray(X)))
+    gnorm = float(quadratic.rie_grad_norm(qd_central, jnp.asarray(X)))
+    return cost, gnorm
+
+
+def test_metrics_match_central_evaluation(small_setup):
+    """The psum'd SPMD cost/gradnorm must equal the centralized evaluation."""
+    meas, n, problem, ranges, state, qd_central = small_setup
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False)
+    step = spmd.make_step_fn(problem, cfg, mesh=None)
+    _, metrics, _ = step(state, jnp.asarray(-1, jnp.int32))
+    cost_c, gnorm_c = _global_metrics(qd_central, state, ranges, n)
+    # SPMD cost metric = sum_e cost_e = <XQ, X> = 2 * f_central
+    np.testing.assert_allclose(float(metrics.cost), 2 * cost_c, rtol=1e-10)
+    np.testing.assert_allclose(float(metrics.gradnorm), gnorm_c, rtol=1e-10)
+
+
+def test_all_mode_converges_single_device(small_setup):
+    meas, n, problem, ranges, state, qd_central = small_setup
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    state_out, trace = spmd.run_rbcd_spmd(
+        problem, state, cfg, num_rounds=200, gradnorm_tol=0.1, check_every=5
+    )
+    assert trace["gradnorm"][-1] < 0.1
+    _, gnorm_c = _global_metrics(qd_central, state_out, ranges, n)
+    assert gnorm_c < 0.2  # gradnorm metric is measured at round start
+
+
+def test_accelerated_all_mode_converges(small_setup):
+    meas, n, problem, ranges, state, qd_central = small_setup
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1)
+    state_out, trace = spmd.run_rbcd_spmd(
+        problem, state, cfg, num_rounds=200, gradnorm_tol=0.1, check_every=5
+    )
+    assert trace["gradnorm"][-1] < 0.1
+
+
+def test_greedy_mode_converges(small_setup):
+    meas, n, problem, ranges, state, qd_central = small_setup
+    cfg = spmd.SPMDConfig(mode="greedy", acceleration=False, rtr_iterations=1)
+    state_out, trace = spmd.run_rbcd_spmd(
+        problem, state, cfg, num_rounds=400, gradnorm_tol=0.1, check_every=10
+    )
+    assert trace["gradnorm"][-1] < 0.1
+
+
+def test_sharded_matches_single_device(small_setup):
+    """The 4-agent problem on a 4-device mesh must produce numerically
+    identical rounds to the single-device batched path."""
+    meas, n, problem, ranges, state, qd_central = small_setup
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1)
+
+    step_local = spmd.make_step_fn(problem, cfg, mesh=None)
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("agents",))
+    step_sharded = spmd.make_step_fn(problem, cfg, mesh=mesh)
+
+    sel = jnp.asarray(-1, jnp.int32)
+    s_local, s_shard = state, state
+    for _ in range(3):
+        s_local, m_local, _ = step_local(s_local, sel)
+        s_shard, m_shard, _ = step_sharded(s_shard, sel)
+    np.testing.assert_allclose(
+        np.asarray(s_local.X), np.asarray(s_shard.X), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(m_local.cost), float(m_shard.cost), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(m_local.gradnorm), float(m_shard.gradnorm), rtol=1e-8
+    )
+
+
+def test_sharded_8_devices_smallgrid():
+    """8 agents over the full 8-device mesh on smallGrid3D."""
+    meas, n = read_g2o_file("/root/reference/data/smallGrid3D.g2o")
+    r = 5
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=8, r=r)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("agents",))
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1)
+    state_out, trace = spmd.run_rbcd_spmd(
+        problem, state, cfg, num_rounds=100, mesh=mesh,
+        gradnorm_tol=0.5, check_every=5,
+    )
+    assert trace["gradnorm"][-1] < 0.5
+    # global solution is valid (Stiefel blocks)
+    X = spmd.assemble_global(state_out, ranges, n)
+    assert lifted.check_stiefel(X[:, :, :3])
