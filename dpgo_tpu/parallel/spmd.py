@@ -261,15 +261,17 @@ def initial_state(
     """Initial SPMD state from a global (n, r, dh) iterate (e.g. lifted
     chordal initialization) or padded identity."""
     N, n_max, r, dh = problem.num_agents, problem.n_max, problem.r, problem.dh
+    dtype = problem.priv_T.dtype
     X = np.tile(
-        np.asarray(lifted.identity_lifted(n_max, r, problem.d)), (N, 1, 1, 1)
+        np.asarray(lifted.identity_lifted(n_max, r, problem.d, dtype=dtype)),
+        (N, 1, 1, 1),
     )
     if X0 is not None:
         assert ranges is not None
         X0 = np.asarray(X0)
         for a, (s, e) in enumerate(ranges):
             X[a, : e - s] = X0[s:e]
-    Xj = jnp.asarray(X)
+    Xj = jnp.asarray(X, dtype)
     return SPMDState(
         X=Xj, Y=Xj, V=Xj,
         gamma=jnp.asarray(0.0, Xj.dtype),
@@ -523,6 +525,97 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
         return fn(problem_dev, state, sel)
 
     return step
+
+
+def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = None):
+    """Build a fully-jitted run-to-tolerance driver: the entire RBCD
+    optimization — all rounds, including nested RTR/tCG — is ONE compiled XLA
+    program with a lax.while_loop over rounds. Zero host round trips: on TPU
+    this removes per-round dispatch + device-to-host metric transfers.
+
+    Returns run(state, max_rounds, tol) -> (state, last_metrics, rounds).
+    The termination check uses the round-start global gradient norm (the same
+    quantity the in-process simulation checks).
+    """
+    N = problem.num_agents
+    key = jax.random.PRNGKey(cfg.seed)
+
+    def make_loop(axis_name, agent_offset, pr_blk):
+        def cond(carry):
+            state, metrics, sel, rounds, max_rounds, tol = carry
+            return jnp.logical_and(rounds < max_rounds, metrics.gradnorm >= tol)
+
+        def body(carry):
+            state, _metrics, sel, rounds, max_rounds, tol = carry
+            new_state, metrics, gnorm_a = _round_body(
+                pr_blk, cfg, axis_name, agent_offset, state, sel
+            )
+            if axis_name is None:
+                gnorm_all = gnorm_a
+            else:
+                gnorm_all = jax.lax.all_gather(gnorm_a, axis_name, axis=0, tiled=True)
+            nxt = _select_next(gnorm_all, cfg, state.it, key)
+            return (new_state, metrics, nxt, rounds + 1, max_rounds, tol)
+
+        return cond, body
+
+    def init_carry(state, max_rounds, tol):
+        dtype = state.X.dtype
+        metrics0 = RoundMetrics(
+            cost=jnp.asarray(jnp.inf, dtype),
+            gradnorm=jnp.asarray(jnp.inf, dtype),
+            max_rel_change=jnp.asarray(jnp.inf, dtype),
+        )
+        sel0 = jnp.asarray(-1 if cfg.mode == "all" else 0, jnp.int32)
+        return (state, metrics0, sel0, jnp.asarray(0, jnp.int32),
+                jnp.asarray(max_rounds, jnp.int32), jnp.asarray(tol, dtype))
+
+    if mesh is None:
+        @jax.jit
+        def run(state, max_rounds, tol):
+            cond, body = make_loop(None, jnp.asarray(0, jnp.int32), problem)
+            state, metrics, _sel, rounds, *_ = jax.lax.while_loop(
+                cond, body, init_carry(state, max_rounds, tol)
+            )
+            return state, metrics, rounds
+
+        return run
+
+    n_dev = mesh.devices.size
+    assert N % n_dev == 0
+    A = N // n_dev
+    blk_spec = P("agents")
+    rep = P()
+
+    def sharded_run(pr_blk, state_blk, max_rounds, tol):
+        dev = jax.lax.axis_index("agents")
+        offset = (dev * A).astype(jnp.int32)
+        cond, body = make_loop("agents", offset, pr_blk)
+        state, metrics, _sel, rounds, *_ = jax.lax.while_loop(
+            cond, body, init_carry(state_blk, max_rounds, tol)
+        )
+        return state, metrics, rounds
+
+    state_specs = SPMDState(X=blk_spec, Y=blk_spec, V=blk_spec, gamma=rep, it=rep)
+    problem_specs = SPMDProblem(
+        num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
+        **{f: blk_spec for f in _DATA_FIELDS},
+    )
+    fn = jax.shard_map(
+        sharded_run,
+        mesh=mesh,
+        in_specs=(problem_specs, state_specs, rep, rep),
+        out_specs=(state_specs, RoundMetrics(rep, rep, rep), rep),
+        check_vma=False,
+    )
+    sharding = NamedSharding(mesh, blk_spec)
+    problem_dev = jax.tree.map(lambda x: jax.device_put(x, sharding), problem)
+
+    @jax.jit
+    def run(state, max_rounds, tol):
+        return fn(problem_dev, state, max_rounds, tol)
+
+    return run
 
 
 def run_rbcd_spmd(

@@ -102,7 +102,7 @@ class LocalProblem:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["diag", "off_i", "off_j", "off_E", "G", "precond_chol"],
+    data_fields=["diag", "off_i", "off_j", "off_E", "G", "precond_inv"],
     meta_fields=["n", "d"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -113,11 +113,13 @@ class QuadraticData:
     off_i/off_j : (mp,) endpoints of private edges
     off_E       : (mp, dh, dh) with Q_ij = -E_k, Q_ji = -E_k^T
     G           : (n, r, dh) linear term
-    precond_chol: (n, dh, dh) lower Cholesky factors of the block-Jacobi
-                  preconditioner (Q_ii + 0.1 I); semantics follow
+    precond_inv : (n, dh, dh) explicit inverses of the block-Jacobi
+                  preconditioner blocks (Q_ii + 0.1 I); semantics follow
                   PoseGraph.cpp:598-613 with the Cholmod LDL^T of the full
-                  matrix relaxed to its block diagonal (TPU-friendly batched
-                  solve; any SPD preconditioner preserves tCG correctness).
+                  matrix relaxed to its block diagonal. The inverse is
+                  materialized once per build so the per-tCG-iteration
+                  preconditioner application is a single batched matmul on
+                  the MXU instead of triangular solves.
     """
 
     n: int
@@ -127,7 +129,7 @@ class QuadraticData:
     off_j: jax.Array
     off_E: jax.Array
     G: jax.Array
-    precond_chol: jax.Array
+    precond_inv: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -203,12 +205,14 @@ def build_quadratic_data(
 
     # --- block-Jacobi preconditioner of (Q + shift I) ---
     shifted = diag + precond_shift * jnp.eye(dh, dtype=dtype)
-    precond_chol = jnp.linalg.cholesky(shifted)
+    L = jnp.linalg.cholesky(shifted)
+    eye = jnp.broadcast_to(jnp.eye(dh, dtype=dtype), shifted.shape)
+    precond_inv = jax.scipy.linalg.cho_solve((L, True), eye)
 
     return QuadraticData(
         n=n, d=d, diag=diag,
         off_i=problem.priv_i, off_j=problem.priv_j, off_E=E,
-        G=G, precond_chol=precond_chol,
+        G=G, precond_inv=precond_inv,
     )
 
 
@@ -276,13 +280,10 @@ def hess_correction(X: jax.Array, eg: jax.Array) -> jax.Array:
 
 
 def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array) -> jax.Array:
-    """Preconditioner: solve (Q_bj + 0.1 I) out = V blockwise, then project to
-    the tangent space at X (reference: QuadraticProblem.cpp:56-69)."""
-    L = qd.precond_chol
-    # Solve L L^T Z^T = V^T per block; V blocks are (r, dh) => solve on dh axis.
-    Vt = jnp.swapaxes(V, -1, -2)  # (n, dh, r)
-    Z = jax.scipy.linalg.cho_solve((L, True), Vt)
-    out = jnp.swapaxes(Z, -1, -2)
+    """Preconditioner: apply (Q_bj + 0.1 I)^-1 blockwise, then project to the
+    tangent space at X (reference: QuadraticProblem.cpp:56-69). The inverse is
+    symmetric, so the row-vector solve is V @ P^-1 — one batched matmul."""
+    out = jnp.einsum("nrb,nbc->nrc", V, qd.precond_inv)
     return lifted.proj_tangent(X, out)
 
 

@@ -38,8 +38,8 @@ def _chordal_rotations(
     R: jax.Array,
     kappa: jax.Array,
     n: int,
-    tol: float = 1e-12,
-    maxiter: Optional[int] = None,
+    tol: float = 1e-10,
+    maxiter: Optional[int] = 1500,
 ) -> jax.Array:
     """Solve the anchored rotation least squares, returning (n, d, d) blocks
     (un-projected). Pose 0 is fixed to the identity, matching the B3red
@@ -91,8 +91,8 @@ def _recover_translations(
     tau: jax.Array,
     Rot: jax.Array,
     n: int,
-    tol: float = 1e-12,
-    maxiter: Optional[int] = None,
+    tol: float = 1e-10,
+    maxiter: Optional[int] = 1500,
 ) -> jax.Array:
     """Solve the anchored translation least squares given rotations, returning
     (n, d). Pose 0 is fixed at the origin (reference: DPGO_utils.cpp:435-462)."""
@@ -127,7 +127,11 @@ def _recover_translations(
 
 
 def chordal_initialization_arrays(
-    edges: EdgeArrays, n: Optional[int] = None, dtype=jnp.float64
+    edges: EdgeArrays,
+    n: Optional[int] = None,
+    dtype=jnp.float64,
+    tol: float = 1e-10,
+    maxiter: int = 1500,
 ) -> jax.Array:
     """Chordal initialization from edge arrays. Returns T: (n, d, d+1)
     (reference: DPGO_solver.cpp:220-269)."""
@@ -143,9 +147,14 @@ def chordal_initialization_arrays(
     kappa = jnp.asarray(edges.kappa, dtype)
     tau = jnp.asarray(edges.tau, dtype)
 
-    Rot = _chordal_rotations(i, j, R, kappa, n)
+    # A bounded PCG iteration budget replaces the reference's direct SPQR
+    # solve; ~500 Jacobi-preconditioned iterations reach 1e-10 agreement with
+    # a fully converged solve on sphere2500, and an *initialization* feeds the
+    # RTR solver anyway. Unbounded CG at tol below the f64 attainable floor
+    # would spin to the default 10*size iteration cap.
+    Rot = _chordal_rotations(i, j, R, kappa, n, tol=tol, maxiter=maxiter)
     Rot = lifted.project_rotation(Rot)
-    tv = _recover_translations(i, j, R, t, tau, Rot, n)
+    tv = _recover_translations(i, j, R, t, tau, Rot, n, tol=tol, maxiter=maxiter)
     return jnp.concatenate([Rot, tv[:, :, None]], axis=-1)
 
 
