@@ -22,7 +22,7 @@ from dpgo_tpu.measurements import EdgeArrays, RelativeSEMeasurement
 from dpgo_tpu.ops import lifted
 from dpgo_tpu.parallel.partition import contiguous_partition, partition_measurements
 from dpgo_tpu.solvers.pgo import chordal_initialization
-from dpgo_tpu.types import PGOAgentParameters
+from dpgo_tpu.types import PGOAgentParameters, RobustCostType
 
 
 @dataclasses.dataclass
@@ -34,6 +34,8 @@ class SyncRBCDResult:
     final_gradnorm: float
     elapsed_s: float
     X: np.ndarray  # (n, r, d+1) assembled global solution
+    num_weight_updates: int = 0
+    terminated: bool = False
 
 
 def build_central_evaluation(measurements, num_poses: int, r: int):
@@ -66,6 +68,7 @@ def run_synchronous_rbcd(
     """
     d, r = params.d, params.r
     rng = np.random.default_rng(seed)
+    robust = params.robust_cost_params.cost_type != RobustCostType.L2
 
     odometry, private_lcs, shared_lcs, ranges = partition_measurements(
         measurements, num_poses, num_robots
@@ -80,7 +83,33 @@ def run_synchronous_rbcd(
         agent.initialize()
         agents.append(agent)
 
+    def broadcast_poses_and_status() -> None:
+        """Deliver every agent's public poses + status to every other agent —
+        what the communication layer does continuously in a real deployment
+        (the reference delegates this to dpgo_ros)."""
+        for src in agents:
+            shared = src.get_shared_pose_dict()
+            if shared is None:
+                continue
+            for dst in agents:
+                if dst.get_id() == src.get_id():
+                    continue
+                dst.set_neighbor_status(src.get_status())
+                if dst.has_neighbor(src.get_id()):
+                    dst.update_neighbor_poses(src.get_id(), shared)
+
     qd_central = build_central_evaluation(measurements, num_poses, r)
+
+    if not chordal_init and params.multirobot_initialization:
+        # Distributed initialization: propagate public poses until every agent
+        # has aligned itself into the global frame via robust two-stage
+        # transform estimation (reference: PGOAgent.cpp:550-663).
+        from dpgo_tpu.types import PGOAgentState
+
+        for _ in range(2 * num_robots):
+            broadcast_poses_and_status()
+            if all(a.state == PGOAgentState.INITIALIZED for a in agents):
+                break
 
     if chordal_init:
         # centralized chordal init lifted to rank r
@@ -127,6 +156,14 @@ def run_synchronous_rbcd(
 
         sel_agent.iterate(True)
 
+        # GNC: synchronized team-wide measurement weight updates
+        # (reference: PGOAgent.cpp:997-1142, driven by the wrapper)
+        if robust:
+            broadcast_poses_and_status()
+            if all(a.should_update_measurement_weights() for a in agents):
+                for a in agents:
+                    a.update_measurement_weights()
+
         # assemble the centralized iterate and evaluate
         for rid, (start, end) in enumerate(ranges):
             X_r = agents[rid].get_X()
@@ -143,7 +180,12 @@ def run_synchronous_rbcd(
                 f"Iter = {it} | robot = {selected} | "
                 f"cost = {cost:.5g} | gradnorm = {gradnorm:.5g}"
             )
-        if gradnorm < gradnorm_tol:
+        if robust:
+            # distributed termination: every active agent ready + enough
+            # weight updates (reference: PGOAgent.cpp:846-878)
+            if agents[0].should_terminate():
+                break
+        elif gradnorm < gradnorm_tol:
             break
 
         # next robot selection
@@ -175,4 +217,6 @@ def run_synchronous_rbcd(
         final_gradnorm=gradnorm_trace[-1] if gradnorm_trace else float("nan"),
         elapsed_s=elapsed,
         X=X_opt,
+        num_weight_updates=agents[0].weight_update_count,
+        terminated=agents[0].should_terminate(),
     )

@@ -1,0 +1,204 @@
+"""Distributed GNC, robust multi-robot initialization, async mode, and
+elastic membership tests (tier 3)."""
+
+import numpy as np
+import pytest
+
+from dpgo_tpu.measurements import RelativeSEMeasurement
+from dpgo_tpu.parallel.async_driver import run_asynchronous_rbcd
+from dpgo_tpu.parallel.simulation import run_synchronous_rbcd
+from dpgo_tpu.solvers.averaging import project_to_rotation_group
+from dpgo_tpu.types import (
+    PGOAgentParameters,
+    PoseID,
+    ROptParameters,
+    RobustCostParameters,
+    RobustCostType,
+)
+
+
+def _two_robot_world(rng, n=8, outlier=True):
+    """A ground-truth trajectory of n poses split over 2 robots, with clean
+    odometry, clean cross-robot loop closures, and (optionally) one outlier
+    cross-robot loop closure. Global ids; partitioning happens in the sim."""
+    d = 3
+    Rw = [project_to_rotation_group(rng.standard_normal((d, d))) for _ in range(n)]
+    tw = [2.0 * rng.standard_normal(d) for _ in range(n)]
+
+    def rel(i, j, garbage=False):
+        if garbage:
+            return RelativeSEMeasurement(
+                0, 0, i, j,
+                project_to_rotation_group(rng.standard_normal((d, d))),
+                tw[j] - tw[i] + 8.0 + rng.standard_normal(d),
+                10.0, 1.0,
+            )
+        return RelativeSEMeasurement(
+            0, 0, i, j, Rw[i].T @ Rw[j], Rw[i].T @ (tw[j] - tw[i]), 10.0, 1.0
+        )
+
+    meas = [rel(i, i + 1) for i in range(n - 1)]
+    half = n // 2
+    # several clean cross-partition loop closures (for alignment + inliers)
+    for k in range(3):
+        meas.append(rel(k, half + k))
+    if outlier:
+        meas.append(rel(1, half + 3, garbage=True))
+    return meas, n, (Rw, tw)
+
+
+def test_distributed_gnc_rejects_outlier():
+    """The synchronized team-wide GNC flow drives the outlier shared loop
+    closure's weight to 0 and the inliers to 1."""
+    rng = np.random.default_rng(70)
+    meas, n, _ = _two_robot_world(rng, n=8, outlier=True)
+    params = PGOAgentParameters(
+        d=3, r=5, num_robots=2,
+        local_opt_params=ROptParameters(RTR_iterations=1),
+        robust_cost_params=RobustCostParameters(
+            cost_type=RobustCostType.GNC_TLS, GNC_barc=2.0
+        ),
+        robust_opt_inner_iters=5,
+        robust_opt_num_weight_updates=8,
+        rel_change_tol=1e-2,
+    )
+    res = run_synchronous_rbcd(
+        meas, n, num_robots=2, params=params, num_iters=120, gradnorm_tol=1e-3
+    )
+    # NOTE: the central evaluation keeps the original (unit) weights, so
+    # neither its gradient nor its cost is expected to decrease at the GNC
+    # solution (the rejected outlier's residual grows once ignored) — the
+    # meaningful weight assertions are in
+    # test_distributed_gnc_weights_via_agents. Here we check the protocol
+    # flow ran: synchronized team-wide weight updates happened.
+    assert res.num_weight_updates > 0
+
+
+def test_distributed_gnc_weights_via_agents():
+    """Drive the agents directly to observe the GNC weights."""
+    from dpgo_tpu.agent import PGOAgent
+    from dpgo_tpu.parallel.partition import partition_measurements
+
+    rng = np.random.default_rng(71)
+    meas, n, _ = _two_robot_world(rng, n=8, outlier=True)
+    params = PGOAgentParameters(
+        d=3, r=5, num_robots=2,
+        local_opt_params=ROptParameters(RTR_iterations=1),
+        robust_cost_params=RobustCostParameters(
+            cost_type=RobustCostType.GNC_TLS, GNC_barc=5.0,
+            GNC_init_mu=0.01, GNC_max_iters=50,
+        ),
+        robust_opt_inner_iters=15,
+        robust_opt_num_weight_updates=16,
+        rel_change_tol=1e-3,
+    )
+    odometry, private_lcs, shared_lcs, ranges = partition_measurements(meas, n, 2)
+    agents = [PGOAgent(0, params), PGOAgent(1, params)]
+    agents[1].set_lifting_matrix(agents[0].get_lifting_matrix())
+    for rid in range(2):
+        agents[rid].set_measurements(odometry[rid], private_lcs[rid], shared_lcs[rid])
+        agents[rid].initialize()
+
+    def broadcast():
+        for src in agents:
+            shared = src.get_shared_pose_dict()
+            if shared is None:
+                continue
+            for dst in agents:
+                if dst is src:
+                    continue
+                dst.set_neighbor_status(src.get_status())
+                dst.update_neighbor_poses(src.get_id(), shared)
+
+    # distributed initialization (agent 1 aligns from agent 0's public poses)
+    for _ in range(4):
+        broadcast()
+    from dpgo_tpu.types import PGOAgentState
+
+    assert all(a.state == PGOAgentState.INITIALIZED for a in agents)
+
+    for it in range(280):
+        broadcast()
+        for a in agents:
+            a.iterate(True)
+        broadcast()
+        if all(a.should_update_measurement_weights() for a in agents):
+            for a in agents:
+                a.update_measurement_weights()
+
+    # check final shared-edge weights on both agents: exactly one outlier -> 0
+    for a in agents:
+        weights = [m.weight for m in a.pose_graph.shared_lcs]
+        assert min(weights) == pytest.approx(0.0, abs=1e-6)
+        assert sorted(weights)[1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_robust_multirobot_initialization():
+    """Agent 1 initializes its global frame from agent 0's poses via robust
+    two-stage alignment (no centralized chordal)."""
+    rng = np.random.default_rng(72)
+    meas, n, (Rw, tw) = _two_robot_world(rng, n=8, outlier=False)
+    params = PGOAgentParameters(
+        d=3, r=5, num_robots=2,
+        local_opt_params=ROptParameters(RTR_iterations=1),
+        robust_init_min_inliers=2,
+    )
+    res = run_synchronous_rbcd(
+        meas, n, num_robots=2, params=params,
+        num_iters=150, gradnorm_tol=0.05, chordal_init=False,
+    )
+    assert res.final_gradnorm < 0.05
+
+
+def test_async_multirobot():
+    """Asynchronous per-agent threads + communication thread reduce the cost
+    (reference async mode, RA-L 2020)."""
+    rng = np.random.default_rng(73)
+    meas, n, _ = _two_robot_world(rng, n=10, outlier=False)
+    params = PGOAgentParameters(
+        d=3, r=5, num_robots=2,
+        asynchronous=True,
+        asynchronous_rate=50.0,
+        local_opt_params=ROptParameters(RTR_iterations=1),
+    )
+    res = run_asynchronous_rbcd(
+        meas, n, num_robots=2, params=params, duration_s=3.0,
+        comm_period_s=0.005,
+    )
+    assert res.total_iterations > 10
+    assert res.final_gradnorm < 1.0
+
+
+def test_elastic_membership():
+    """Deactivating a neighbor drops its shared edges from the local problem
+    (reference: PoseGraph.cpp:192-207, PGOAgent.cpp:1173-1184)."""
+    from dpgo_tpu.agent import PGOAgent
+    from dpgo_tpu.parallel.partition import partition_measurements
+
+    rng = np.random.default_rng(74)
+    meas, n, _ = _two_robot_world(rng, n=8, outlier=False)
+    params = PGOAgentParameters(
+        d=3, r=5, num_robots=2,
+        local_opt_params=ROptParameters(RTR_iterations=1),
+    )
+    odometry, private_lcs, shared_lcs, ranges = partition_measurements(meas, n, 2)
+    agent = PGOAgent(0, params)
+    agent.set_measurements(odometry[0], private_lcs[0], shared_lcs[0])
+    agent.initialize()
+
+    assert agent.is_robot_active(1)
+    agent.set_robot_active(1, False)
+    assert not agent.is_robot_active(1)
+    assert not agent.pose_graph.is_neighbor_active(1)
+
+    # with the only neighbor inactive, the local problem is self-contained:
+    # iterate succeeds without any neighbor poses
+    ok = agent.iterate(True)
+    assert ok
+    # statistics skip inactive-neighbor edges (PoseGraph.cpp:320-327)
+    stats = agent.pose_graph.statistics()
+    assert stats.total_loop_closures == 0
+
+    # re-activation requires neighbor poses again
+    agent.set_robot_active(1, True)
+    assert not agent.pose_graph.data_matrices_ready()
