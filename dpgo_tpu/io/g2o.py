@@ -9,18 +9,108 @@ the reference (reference: src/DPGO_utils.cpp:113-257):
     the information-divergence-minimizing isotropic approximations.
   * odometry edges (j == i+1) get fixed_weight = True.
 
-The numpy implementation below is vectorized (one pass to split lines, then
-batched float parsing) rather than a per-line scalar loop; a C++ fast path
-(csrc/) can be layered under the same API for very large files.
+Two implementations under one API:
+  * a native C++ parser (csrc/g2o_parser.cpp -> libdpgo_io.so, loaded via
+    ctypes) — the fast data-loader path for large files, auto-built with
+    `make -C csrc` on first use;
+  * a vectorized numpy fallback (one pass to split lines, then batched float
+    parsing) used when the native library is unavailable or
+    DPGO_TPU_NO_NATIVE=1.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from dpgo_tpu.measurements import EdgeArrays, RelativeSEMeasurement
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+)
+_native_lib: Optional[ctypes.CDLL] = None
+_native_failed = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native parser; None if unavailable."""
+    global _native_lib, _native_failed
+    if _native_lib is not None:
+        return _native_lib
+    if _native_failed or os.environ.get("DPGO_TPU_NO_NATIVE") == "1":
+        return None
+    so_path = os.path.join(_NATIVE_DIR, "libdpgo_io.so")
+    try:
+        if not os.path.exists(so_path):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(so_path)
+        lib.dpgo_g2o_count.restype = ctypes.c_long
+        lib.dpgo_g2o_count.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.dpgo_g2o_parse.restype = ctypes.c_long
+        lib.dpgo_g2o_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        _native_lib = lib
+        return lib
+    except Exception:
+        _native_failed = True
+        return None
+
+
+def _read_g2o_native(filename: str) -> Optional[Tuple[EdgeArrays, int]]:
+    lib = _load_native()
+    if lib is None:
+        return None
+    dim = ctypes.c_int(0)
+    m = lib.dpgo_g2o_count(filename.encode(), ctypes.byref(dim))
+    if m <= 0:
+        return None  # error or empty: fall back for the precise exception
+    d = dim.value
+    p1 = np.empty(m, np.int32)
+    p2 = np.empty(m, np.int32)
+    R = np.empty(m * d * d, np.float64)
+    t = np.empty(m * d, np.float64)
+    kappa = np.empty(m, np.float64)
+    tau = np.empty(m, np.float64)
+    fixed = np.empty(m, np.uint8)
+    n = lib.dpgo_g2o_parse(filename.encode(), d, m, p1, p2, R, t, kappa, tau, fixed)
+    if n <= 0:
+        return None
+    edges = EdgeArrays(
+        r1=np.zeros(m, np.int32),
+        r2=np.zeros(m, np.int32),
+        p1=p1,
+        p2=p2,
+        R=R.reshape(m, d, d),
+        t=t.reshape(m, d),
+        kappa=kappa,
+        tau=tau,
+        weight=np.ones(m),
+        fixed_weight=fixed.astype(bool),
+    )
+    return edges, int(n)
 
 
 def _quat_to_rot(qx, qy, qz, qw) -> np.ndarray:
@@ -48,6 +138,14 @@ def _quat_to_rot(qx, qy, qz, qw) -> np.ndarray:
 
 def read_g2o_arrays(filename: str) -> Tuple[EdgeArrays, int]:
     """Parse a .g2o file into struct-of-arrays form. Returns (edges, num_poses)."""
+    native = _read_g2o_native(filename)
+    if native is not None:
+        return native
+    return _read_g2o_arrays_py(filename)
+
+
+def _read_g2o_arrays_py(filename: str) -> Tuple[EdgeArrays, int]:
+    """Pure-numpy fallback parser."""
     se2_rows: List[str] = []
     se3_rows: List[str] = []
     with open(filename, "r") as f:

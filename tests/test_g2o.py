@@ -110,3 +110,24 @@ def test_logger_roundtrip(tmp_path):
         assert a.tau == pytest.approx(b.tau)
         assert a.weight == pytest.approx(b.weight)
         assert a.fixed_weight == b.fixed_weight
+
+
+def test_native_parser_matches_python():
+    """The C++ parser (csrc/g2o_parser.cpp) must agree exactly with the
+    numpy fallback on every field."""
+    from dpgo_tpu.io.g2o import _load_native, _read_g2o_arrays_py, read_g2o_arrays
+
+    if _load_native() is None:
+        pytest.skip("native parser unavailable")
+    for name in ["tinyGrid3D.g2o", "smallGrid3D.g2o", "input_M3500_g2o.g2o"]:
+        path = os.path.join(DATA, name)
+        en, nn = read_g2o_arrays(path)
+        ep, np_poses = _read_g2o_arrays_py(path)
+        assert nn == np_poses
+        np.testing.assert_array_equal(en.p1, ep.p1)
+        np.testing.assert_array_equal(en.p2, ep.p2)
+        np.testing.assert_allclose(en.R, ep.R, atol=1e-14)
+        np.testing.assert_allclose(en.t, ep.t, atol=1e-14)
+        np.testing.assert_allclose(en.kappa, ep.kappa, rtol=1e-12)
+        np.testing.assert_allclose(en.tau, ep.tau, rtol=1e-12)
+        np.testing.assert_array_equal(en.fixed_weight, ep.fixed_weight)
