@@ -58,6 +58,7 @@ from dpgo_tpu.types import PoseID
 
 _DATA_FIELDS = [
     "priv_i", "priv_j", "priv_T", "priv_kappa", "priv_tau", "priv_weight",
+    "priv_fixed_weight",
     "shared_idx", "shared_T", "shared_kappa", "shared_tau", "shared_weight",
     "shared_outgoing", "shared_nbr_robot", "shared_nbr_slot",
     "shared_fixed_weight",
@@ -91,6 +92,7 @@ class SPMDProblem:
     priv_kappa: jax.Array
     priv_tau: jax.Array
     priv_weight: jax.Array
+    priv_fixed_weight: jax.Array  # bool (GNC: odometry weights stay fixed)
     # shared edges (N, ms) / (N, ms, dh, dh)
     shared_idx: jax.Array
     shared_T: jax.Array
@@ -192,6 +194,7 @@ def build_spmd_problem(
     P_k = np.zeros((num_agents, mp_max))
     P_t = np.zeros((num_agents, mp_max))
     P_w = np.zeros((num_agents, mp_max))
+    P_fx = np.zeros((num_agents, mp_max), bool)
     S_idx = np.zeros((num_agents, ms_max), np.int32)
     S_T = np.zeros((num_agents, ms_max, dh, dh))
     S_k = np.zeros((num_agents, ms_max))
@@ -215,6 +218,7 @@ def build_spmd_problem(
             P_k[a, k] = m.kappa
             P_t[a, k] = m.tau
             P_w[a, k] = m.weight
+            P_fx[a, k] = m.fixed_weight
         for k, m in enumerate(shared_lcs[a]):
             S_T[a, k] = homogeneous(m.R, m.t)
             S_k[a, k] = m.kappa
@@ -241,6 +245,7 @@ def build_spmd_problem(
         priv_T=jnp.asarray(P_T, dtype),
         priv_kappa=jnp.asarray(P_k, dtype), priv_tau=jnp.asarray(P_t, dtype),
         priv_weight=jnp.asarray(P_w, dtype),
+        priv_fixed_weight=jnp.asarray(P_fx),
         shared_idx=jnp.asarray(S_idx), shared_T=jnp.asarray(S_T, dtype),
         shared_kappa=jnp.asarray(S_k, dtype), shared_tau=jnp.asarray(S_t, dtype),
         shared_weight=jnp.asarray(S_w, dtype),
@@ -525,6 +530,102 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
         return fn(problem_dev, state, sel)
 
     return step
+
+
+@jax.jit
+def _gnc_residuals_sq(problem: SPMDProblem, state: SPMDState):
+    """Squared lifted residuals of all edges: ((N, mp), (N, ms)). Padded edges
+    report 0 (kappa = tau = 0)."""
+    pr = problem
+    d = pr.d
+    X = state.X
+    all_pub = _gather_pub(X, pr.pub_idx, None)
+    nbr = all_pub[pr.shared_nbr_robot, pr.shared_nbr_slot]
+
+    Yi = jnp.take_along_axis(X, pr.priv_i[:, :, None, None], axis=1)
+    Yj = jnp.take_along_axis(X, pr.priv_j[:, :, None, None], axis=1)
+    rot = jnp.sum((Yi[..., :d] @ pr.priv_T[..., :d, :d] - Yj[..., :d]) ** 2, axis=(-2, -1))
+    tr = jnp.sum(
+        (Yi[..., :d] @ pr.priv_T[..., :d, d:] + Yi[..., d:] - Yj[..., d:]) ** 2,
+        axis=(-2, -1),
+    )
+    r_sq_priv = pr.priv_kappa * rot + pr.priv_tau * tr
+
+    Xl = jnp.take_along_axis(X, pr.shared_idx[:, :, None, None], axis=1)
+    tail = jnp.where(pr.shared_outgoing[..., None, None], Xl, nbr)
+    head = jnp.where(pr.shared_outgoing[..., None, None], nbr, Xl)
+    rot_s = jnp.sum((tail[..., :d] @ pr.shared_T[..., :d, :d] - head[..., :d]) ** 2, axis=(-2, -1))
+    tr_s = jnp.sum(
+        (tail[..., :d] @ pr.shared_T[..., :d, d:] + tail[..., d:] - head[..., d:]) ** 2,
+        axis=(-2, -1),
+    )
+    r_sq_shared = pr.shared_kappa * rot_s + pr.shared_tau * tr_s
+    return r_sq_priv, r_sq_shared
+
+
+@jax.jit
+def gnc_reweight(problem: SPMDProblem, state: SPMDState, barc_sq, mu) -> SPMDProblem:
+    """Distributed GNC-TLS measurement reweighting as one jitted program
+    (reference: PGOAgent.cpp:1062-1142, computeMeasurementResidual +
+    updateMeasurementWeights, lowered to batched array ops).
+
+    Residuals are evaluated in the lifted space at the current X (private
+    edges) and against the *current public poses* (shared edges). Weights of
+    fixed-weight edges (odometry) are untouched. Runs replicated — each agent
+    block depends only on its own rows + the gathered public poses, so the
+    same function works under shard_map.
+    """
+    from dpgo_tpu.robust import gnc_tls_weights
+
+    from dpgo_tpu.robust import gnc_tls_weights as _w
+
+    r_sq_priv, r_sq_shared = _gnc_residuals_sq(problem, state)
+    new_priv_w = jnp.where(
+        problem.priv_fixed_weight, problem.priv_weight, _w(r_sq_priv, barc_sq, mu)
+    )
+    new_shared_w = jnp.where(
+        problem.shared_fixed_weight, problem.shared_weight, _w(r_sq_shared, barc_sq, mu)
+    )
+    return dataclasses.replace(
+        problem, priv_weight=new_priv_w, shared_weight=new_shared_w
+    )
+
+
+def run_rbcd_gnc(
+    problem: SPMDProblem,
+    state: SPMDState,
+    cfg: SPMDConfig,
+    barc: float = 5.0,
+    init_mu: Optional[float] = None,
+    mu_step: float = 1.4,
+    num_weight_updates: int = 10,
+    inner_rounds: int = 30,
+    mesh: Optional[Mesh] = None,
+):
+    """Distributed GNC-TLS: alternate `inner_rounds` of RBCD with team-wide
+    weight updates and a growing mu (reference's distributed robust schedule,
+    PGOAgent.cpp:997-1142).
+
+    init_mu=None uses the adaptive initialization of the reference's batch
+    GNC (DPGO_solver.cpp:356-358): mu0 = barc^2 / (2 max r^2 - barc^2),
+    computed at the first converged iterate — gentle annealing when the
+    initial guess is outlier-polluted. Returns (problem, state, history)."""
+    barc_sq = barc * barc
+    run = make_run_fn(problem, cfg, mesh)
+    mu = init_mu
+    history = []
+    for _ in range(num_weight_updates):
+        state, metrics, rounds = run(state, inner_rounds, 0.0)
+        if mu is None:
+            r_sq_p, r_sq_s = _gnc_residuals_sq(problem, state)
+            r_max = float(jnp.maximum(jnp.max(r_sq_p), jnp.max(r_sq_s)))
+            mu = barc_sq / max(2.0 * r_max - barc_sq, barc_sq * 1e-3)
+        problem = gnc_reweight(problem, state, barc_sq, mu)
+        mu *= mu_step
+        history.append(
+            {"rounds": int(rounds), "cost": float(metrics.cost), "mu": mu}
+        )
+    return problem, state, history
 
 
 def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = None):

@@ -30,7 +30,7 @@ def _two_robot_world(rng, n=8, outlier=True):
             return RelativeSEMeasurement(
                 0, 0, i, j,
                 project_to_rotation_group(rng.standard_normal((d, d))),
-                tw[j] - tw[i] + 8.0 + rng.standard_normal(d),
+                tw[j] - tw[i] + 30.0 + rng.standard_normal(d),
                 10.0, 1.0,
             )
         return RelativeSEMeasurement(

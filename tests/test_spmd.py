@@ -122,3 +122,33 @@ def test_sharded_8_devices_smallgrid():
     # global solution is valid (Stiefel blocks)
     X = spmd.assemble_global(state_out, ranges, n)
     assert lifted.check_stiefel(X[:, :, :3])
+
+
+def test_spmd_gnc_rejects_outlier():
+    """TPU-native distributed GNC: the jitted reweighting drives the outlier
+    shared edge's weight to ~0 while keeping inliers high."""
+    from tests.test_distributed_robust import _two_robot_world
+
+    rng = np.random.default_rng(80)
+    meas, n, _ = _two_robot_world(rng, n=8, outlier=True)
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=2, r=5)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, 5))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    problem_out, state_out, hist = spmd.run_rbcd_gnc(
+        problem, state, cfg,
+        barc=5.0, init_mu=0.01, mu_step=1.4,
+        num_weight_updates=16, inner_rounds=15,
+    )
+    w = np.asarray(problem_out.shared_weight)
+    fx = np.asarray(problem_out.shared_fixed_weight)
+    real = ~fx & (np.asarray(problem_out.shared_kappa) > 0)
+    weights = np.sort(w[real])
+    assert weights[0] < 1e-3  # both copies of the outlier edge
+    assert weights[-1] > 0.9
+    # the same edge is down-weighted consistently on both agents' copies
+    per_agent = [np.sort(w[a][real[a]]) for a in range(2)]
+    for pa in per_agent:
+        assert pa[0] < 1e-3 and pa[-1] > 0.9
