@@ -752,6 +752,31 @@ def run_rbcd_spmd(
     }
 
 
+def save_state(state: SPMDState, path: str) -> None:
+    """Checkpoint the SPMD optimizer state (npz). Complements the agent-level
+    CSV checkpointing (io/logger.py) for the mesh-parallel path."""
+    np.savez(
+        path,
+        X=np.asarray(state.X),
+        Y=np.asarray(state.Y),
+        V=np.asarray(state.V),
+        gamma=np.asarray(state.gamma),
+        it=np.asarray(state.it),
+    )
+
+
+def load_state(path: str) -> SPMDState:
+    """Resume an SPMD optimizer state saved by save_state."""
+    z = np.load(path)
+    return SPMDState(
+        X=jnp.asarray(z["X"]),
+        Y=jnp.asarray(z["Y"]),
+        V=jnp.asarray(z["V"]),
+        gamma=jnp.asarray(z["gamma"]),
+        it=jnp.asarray(z["it"]),
+    )
+
+
 def assemble_global(
     state: SPMDState, ranges: List[Tuple[int, int]], num_poses: int
 ) -> np.ndarray:

@@ -152,3 +152,19 @@ def test_spmd_gnc_rejects_outlier():
     per_agent = [np.sort(w[a][real[a]]) for a in range(2)]
     for pa in per_agent:
         assert pa[0] < 1e-3 and pa[-1] > 0.9
+
+
+def test_spmd_checkpoint_roundtrip(tmp_path, small_setup):
+    meas, n, problem, ranges, state, qd_central = small_setup
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1)
+    step = spmd.make_step_fn(problem, cfg, mesh=None)
+    s1, _, _ = step(state, jnp.asarray(-1, jnp.int32))
+    path = str(tmp_path / "ckpt.npz")
+    spmd.save_state(s1, path)
+    s2 = spmd.load_state(path)
+    np.testing.assert_allclose(np.asarray(s1.X), np.asarray(s2.X), atol=0)
+    assert int(s1.it) == int(s2.it)
+    # resumed state continues identically
+    a, _, _ = step(s1, jnp.asarray(-1, jnp.int32))
+    b, _, _ = step(s2, jnp.asarray(-1, jnp.int32))
+    np.testing.assert_allclose(np.asarray(a.X), np.asarray(b.X), atol=0)
