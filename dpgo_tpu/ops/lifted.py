@@ -73,8 +73,14 @@ def _sym(M: jax.Array) -> jax.Array:
 
 def stiefel_proj_tangent(Y: jax.Array, V: jax.Array) -> jax.Array:
     """Orthogonal projection onto the tangent space of St(d, r) at Y:
-    P_Y(V) = V - Y sym(Y^T V)."""
-    return V - Y @ _sym(jnp.swapaxes(Y, -1, -2) @ V)
+    P_Y(V) = V - Y sym(Y^T V).
+
+    Y^T V is spelled as a direct dot_general contracting the r axis of both
+    operands (no transpose HLO): explicit transposes feeding dots trip an
+    XLA:TPU TransposeFolding crash/fixpoint blowup in composed programs, and
+    the einsum form is also faster."""
+    YtV = jnp.einsum("...ra,...rb->...ab", Y, V)
+    return V - jnp.einsum("...ra,...ab->...rb", Y, _sym(YtV))
 
 
 def proj_tangent(X: jax.Array, V: jax.Array) -> jax.Array:
