@@ -64,13 +64,24 @@ def run_centralized(meas, n, verbose=False):
     problem = quadratic.from_private_measurements(edges, n=n, d=d)
     Y_lift = jnp.asarray(lifted.fixed_stiefel_variable(d, RANK))
 
+    # Mixed precision on TPU: tCG inner loops + chordal CG in f32, trust-region
+    # control and final polish in f64 (same final cost to ~1e-9 relative; f64
+    # is emulated on TPU at several times the f32 cost). On CPU f64 is native
+    # and fastest.
+    mixed = jax.devices()[0].platform != "cpu"
+
     def full_solve():
-        T = chordal_mod.chordal_initialization_arrays(edges, n=n)
+        T = chordal_mod.chordal_initialization_arrays(
+            edges, n=n,
+            cg_dtype=jnp.float32 if mixed else None,
+            tol=1e-6 if mixed else 1e-10,
+        )
         X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
         qd = quadratic.build_quadratic_data(problem, jnp.zeros((1, RANK, d + 1)), r=RANK)
         X, stats = rtr_mod.rtr_solve(
             qd, X0, gradnorm_tol=TOL, initial_radius=100.0,
             max_iterations=100, max_inner=200,
+            inner_dtype=jnp.float32 if mixed else None,
         )
         return X, stats
 
@@ -107,9 +118,11 @@ def run_distributed(meas, n):
     Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, RANK))
     X0 = np.einsum("rd,nde->nre", Y_lift, T)
     state0 = spmd.initial_state(problem, X0, ranges)
+    mixed = jax.devices()[0].platform != "cpu"
     cfg = spmd.SPMDConfig(
         mode="all", acceleration=True, rtr_iterations=1,
         rtr_gradnorm_tol=TOL / (2 * np.sqrt(NUM_AGENTS)),
+        rtr_inner_dtype="float32" if mixed else None,
     )
     run_fn = spmd.make_run_fn(problem, cfg, mesh=None)
     s_warm, _, _ = run_fn(state0, 1, TOL)

@@ -138,6 +138,10 @@ class SPMDConfig:
     rtr_tcg_iterations: int = 50
     rtr_initial_radius: float = 100.0
     rtr_gradnorm_tol: float = 1e-2
+    # run the tCG inner loops in reduced precision ('float32') while keeping
+    # trust-region control in the state dtype — see solvers/rtr.py. None
+    # keeps a single precision level.
+    rtr_inner_dtype: Optional[str] = None
     seed: int = 0
 
 
@@ -357,6 +361,7 @@ def _agent_round(
         max_iterations=cfg.rtr_iterations,
         max_inner=cfg.rtr_tcg_iterations,
         shrink_until_accept=(cfg.rtr_iterations == 1),
+        inner_dtype=jnp.dtype(cfg.rtr_inner_dtype) if cfg.rtr_inner_dtype else None,
     )
     X_new = jnp.where(do_opt, Xopt, X0)
     outgoing_only = a_shared[5].astype(X0.dtype)

@@ -31,6 +31,41 @@ from dpgo_tpu.measurements import EdgeArrays
 from dpgo_tpu.ops import lifted
 
 
+def _pcg(A, b, M, x0, tol: float, maxiter: int):
+    """Minimal preconditioned conjugate gradients on a single array pytree.
+
+    Replaces jax.scipy.sparse.linalg.cg: same math, but a plain
+    lax.while_loop whose body structure the XLA:TPU compiler handles in every
+    dtype (the scipy wrapper's tree-based formulation triggers a TPU compiler
+    crash in f32 for our scatter-add operators)."""
+    r0 = b - A(x0)
+    z0 = M(r0)
+    gamma0 = jnp.vdot(r0, z0).real
+    b_norm_sq = jnp.vdot(b, b).real
+    tol_sq = (tol * tol) * b_norm_sq
+
+    def cond(c):
+        k, x, r, z, p, gamma, r_sq = c
+        return jnp.logical_and(k < maxiter, r_sq > tol_sq)
+
+    def body(c):
+        k, x, r, z, p, gamma, r_sq = c
+        Ap = A(p)
+        alpha = gamma / jnp.vdot(p, Ap).real
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        gamma_new = jnp.vdot(r, z).real
+        beta = gamma_new / gamma
+        p = z + beta * p
+        return (k + 1, x, r, z, p, gamma_new, jnp.vdot(r, r).real)
+
+    init = (jnp.asarray(0, jnp.int32), x0, r0, z0, z0,
+            gamma0, jnp.vdot(r0, r0).real)
+    _, x, *_ = jax.lax.while_loop(cond, body, init)
+    return x
+
+
 @partial(jax.jit, static_argnames=("n", "tol", "maxiter"))
 def _chordal_rotations(
     i: jax.Array,
@@ -48,16 +83,19 @@ def _chordal_rotations(
     dtype = R.dtype
     free = (jnp.arange(n) > 0).astype(dtype)[:, None, None]
 
+    # Rotation connection Laplacian in explicit block form (R R^T = I makes
+    # the diagonal blocks scalar): L_ii = deg_i I, L_ij = -kappa_e R_e.
+    # Same op structure as quadratic.q_matvec — one scalar-scaled term plus
+    # two gathered batched matmuls and scatter-adds.
+    deg = jnp.zeros((n,), dtype).at[i].add(kappa).at[j].add(kappa)
+    E = kappa[:, None, None] * R  # (m, d, d)
+
     def laplacian(Rot):
-        """Normal-equation operator of the rotation LS (connection Laplacian):
-        out_i += k (Rot_i R_e - Rot_j) R_e^T ; out_j += k (Rot_j - Rot_i R_e)."""
+        out = deg[:, None, None] * Rot
         Ri = Rot[i]
         Rj = Rot[j]
-        res = jnp.einsum("mab,mbc->mac", Ri, R) - Rj  # Rot_i R_e - Rot_j
-        res = res * kappa[:, None, None]
-        out = jnp.zeros_like(Rot)
-        out = out.at[i].add(jnp.einsum("mab,mcb->mac", res, R))
-        out = out.at[j].add(-res)
+        out = out.at[i].add(-jnp.einsum("mab,mcb->mac", Rj, E))  # -Rot_j E^T
+        out = out.at[j].add(-jnp.einsum("mab,mbc->mac", Ri, E))  # -Rot_i E
         return out
 
     def A(Z):
@@ -69,16 +107,13 @@ def _chordal_rotations(
 
     # Jacobi preconditioner: the diagonal block of the Laplacian at pose i is
     # (weighted degree) * I, since R_e R_e^T = I.
-    deg = (
-        jnp.zeros((n,), dtype).at[i].add(kappa).at[j].add(kappa)
-    )
-    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-300), 1.0)
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, jnp.finfo(dtype).tiny), 1.0)
 
     def M(Z):
         return Z * inv_deg[:, None, None] * free
 
     Z0 = jnp.zeros((n, d, d), dtype)
-    Z, _ = jax.scipy.sparse.linalg.cg(A, b, x0=Z0, tol=tol, atol=0.0, M=M, maxiter=maxiter)
+    Z = _pcg(A, b, M, Z0, tol=tol, maxiter=maxiter)
     return anchor + Z
 
 
@@ -122,8 +157,7 @@ def _recover_translations(
         return z * inv_deg[:, None] * free
 
     z0 = jnp.zeros((n, R.shape[-1]), dtype)
-    tv, _ = jax.scipy.sparse.linalg.cg(A, b, x0=z0, tol=tol, atol=0.0, M=M, maxiter=maxiter)
-    return tv
+    return _pcg(A, b, M, z0, tol=tol, maxiter=maxiter)
 
 
 def chordal_initialization_arrays(
@@ -132,30 +166,40 @@ def chordal_initialization_arrays(
     dtype=jnp.float64,
     tol: float = 1e-10,
     maxiter: int = 1500,
+    cg_dtype=None,
 ) -> jax.Array:
     """Chordal initialization from edge arrays. Returns T: (n, d, d+1)
-    (reference: DPGO_solver.cpp:220-269)."""
+    (reference: DPGO_solver.cpp:220-269).
+
+    cg_dtype: optionally run the two PCG stages in reduced precision (e.g.
+    jnp.float32) — an *initialization* tolerates ~1e-4 accuracy, and on TPU
+    f64 is emulated at several times the f32 cost. The SO(d) projection stays
+    in `dtype` (batched SVD). Results are returned in `dtype`.
+    """
     if edges.m == 0:
         raise ValueError("chordal initialization needs at least one edge")
     d = edges.d
     if n is None:
         n = int(max(edges.p1.max(), edges.p2.max())) + 1
+    cg_dt = dtype if cg_dtype is None else cg_dtype
     i = jnp.asarray(edges.p1, jnp.int32)
     j = jnp.asarray(edges.p2, jnp.int32)
-    R = jnp.asarray(edges.R, dtype)
-    t = jnp.asarray(edges.t, dtype)
-    kappa = jnp.asarray(edges.kappa, dtype)
-    tau = jnp.asarray(edges.tau, dtype)
+    R = jnp.asarray(edges.R, cg_dt)
+    t = jnp.asarray(edges.t, cg_dt)
+    kappa = jnp.asarray(edges.kappa, cg_dt)
+    tau = jnp.asarray(edges.tau, cg_dt)
 
     # A bounded PCG iteration budget replaces the reference's direct SPQR
     # solve; ~500 Jacobi-preconditioned iterations reach 1e-10 agreement with
     # a fully converged solve on sphere2500, and an *initialization* feeds the
-    # RTR solver anyway. Unbounded CG at tol below the f64 attainable floor
-    # would spin to the default 10*size iteration cap.
+    # RTR solver anyway. Unbounded CG at tol below the attainable floor would
+    # spin to the iteration cap.
     Rot = _chordal_rotations(i, j, R, kappa, n, tol=tol, maxiter=maxiter)
-    Rot = lifted.project_rotation(Rot)
-    tv = _recover_translations(i, j, R, t, tau, Rot, n, tol=tol, maxiter=maxiter)
-    return jnp.concatenate([Rot, tv[:, :, None]], axis=-1)
+    Rot = lifted.project_rotation(Rot.astype(dtype))
+    tv = _recover_translations(
+        i, j, R, t, tau, Rot.astype(cg_dt), n, tol=tol, maxiter=maxiter
+    )
+    return jnp.concatenate([Rot, tv[:, :, None].astype(dtype)], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("n",))

@@ -148,9 +148,37 @@ def _tcg(
     return TCGResult(eta=eta, Heta=Heta, hit_boundary=boundary, num_iters=j)
 
 
-def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only: bool):
-    """One outer RTR iteration: tCG, rho test, radius update."""
-    tcg = _tcg(qd, state.X, state.S, state.grad, state.radius, max_inner)
+def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only: bool,
+                   qd_inner=None):
+    """One outer RTR iteration: tCG, rho test, radius update.
+
+    qd_inner: optionally a lower-precision copy of qd (mixed precision): the
+    tCG inner loop — the hot path — runs in qd_inner's dtype while the
+    trust-region control (cost, gradient, rho, retraction) stays in the outer
+    dtype. The returned step is re-evaluated against the outer-precision
+    Hessian for the model decrease, so acceptance decisions keep full
+    precision. (The reference is f64 throughout; on TPU f64 is emulated at
+    ~7x the cost of f32, and the tCG tolerates reduced precision because the
+    trust region bounds any step-quality loss.)
+    """
+    if qd_inner is not None:
+        dt = qd_inner.diag.dtype
+        tcg = _tcg(
+            qd_inner,
+            state.X.astype(dt),
+            state.S.astype(dt),
+            state.grad.astype(dt),
+            state.radius.astype(dt),
+            max_inner,
+        )
+        eta = tcg.eta.astype(state.X.dtype)
+        # ensure tangency in outer precision and recompute H(eta) exactly
+        eta = lifted.proj_tangent(state.X, eta)
+        Heta = quadratic.rie_hess_vec(qd, state.X, state.S, eta)
+        tcg = TCGResult(eta=eta, Heta=Heta, hit_boundary=tcg.hit_boundary,
+                        num_iters=tcg.num_iters)
+    else:
+        tcg = _tcg(qd, state.X, state.S, state.grad, state.radius, max_inner)
     X_new = lifted.retract(state.X, tcg.eta)
     f_new = quadratic.cost(qd, X_new)
 
@@ -213,7 +241,8 @@ def _initial_state(qd, Y0, radius):
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "max_inner", "shrink_until_accept"),
+    static_argnames=("max_iterations", "max_inner", "shrink_until_accept",
+                     "inner_dtype"),
 )
 def rtr_solve(
     qd: QuadraticData,
@@ -223,6 +252,7 @@ def rtr_solve(
     max_iterations: int = 3,
     max_inner: int = 50,
     shrink_until_accept: bool = False,
+    inner_dtype=None,
 ) -> Tuple[jax.Array, RTRStats]:
     """Riemannian trust-region solve of the lifted PGO quadratic.
 
@@ -230,7 +260,15 @@ def rtr_solve(
     mode (QuadraticOptimizer.cpp:80-98): a single RTR iteration retried with
     radius/4 until acceptance (max 10 shrinks, else the initial iterate is
     returned). Otherwise it runs a standard RTR loop for up to max_iterations.
+
+    inner_dtype (e.g. jnp.float32): run the tCG inner loop in reduced
+    precision while keeping trust-region control in Y0's dtype — see
+    _rtr_iteration. None = single precision level throughout.
     """
+    qd_inner = None
+    if inner_dtype is not None and inner_dtype != Y0.dtype:
+        cast = lambda x: x.astype(inner_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        qd_inner = jax.tree.map(cast, qd)
     state0 = _initial_state(qd, Y0, initial_radius)
     f_init, g_init = state0.fx, state0.gnorm
     # No optimization if gradient is already below threshold
@@ -246,9 +284,8 @@ def rtr_solve(
 
         def body(c):
             state, attempts = c
-            trial = state._replace(radius=state.radius)
-            nxt = _rtr_iteration(qd, trial, max_inner, max_radius=state.radius,
-                                 shrink_only=True)
+            nxt = _rtr_iteration(qd, state, max_inner, max_radius=state.radius,
+                                 shrink_only=True, qd_inner=qd_inner)
             # on rejection: keep the original iterate, shrink the radius by 4
             nxt = nxt._replace(
                 radius=jnp.where(nxt.accepted, nxt.radius, 0.25 * state.radius)
@@ -267,7 +304,8 @@ def rtr_solve(
             )
 
         def body(state):
-            return _rtr_iteration(qd, state, max_inner, max_radius, shrink_only=False)
+            return _rtr_iteration(qd, state, max_inner, max_radius,
+                                  shrink_only=False, qd_inner=qd_inner)
 
         final = jax.lax.while_loop(cond, body, state0)
 

@@ -97,3 +97,21 @@ def test_rtr_matches_scipy_on_euclidean_subproblem():
     Y, stats = rtr_mod.rtr_solve(qd, Y0, 1e-10, 100.0, max_iterations=300, max_inner=300)
     g = quadratic.rie_grad(qd, Y)
     assert float(lifted.norm(g)) < 1e-9
+
+
+def test_mixed_precision_matches_f64_optimum():
+    """Mixed precision (f32 tCG inner loop, f64 trust-region control) must
+    reach the same optimum as the all-f64 solve."""
+    import jax.numpy as jnp2
+
+    rng = np.random.default_rng(36)
+    qd = _problem(rng, n=10, d=3, r=5)
+    Y0 = lifted.identity_lifted(10, 5, 3)
+    Y64, s64 = rtr_mod.rtr_solve(qd, Y0, 1e-8, 100.0, max_iterations=200, max_inner=200)
+    Ymx, smx = rtr_mod.rtr_solve(
+        qd, Y0, 1e-6, 100.0, max_iterations=200, max_inner=200,
+        inner_dtype=jnp2.float32,
+    )
+    assert float(smx.gnorm_opt) < 1e-6
+    np.testing.assert_allclose(float(smx.f_opt), float(s64.f_opt), rtol=1e-9)
+    assert lifted.check_stiefel(np.asarray(Ymx)[:, :, :3])
