@@ -32,6 +32,7 @@ if os.environ.get("DPGO_TPU_X64", "1") != "0":
 
     jax.config.update("jax_enable_x64", True)
 
+
 from dpgo_tpu.types import (  # noqa: E402
     InitializationMethod,
     PGOAgentState,

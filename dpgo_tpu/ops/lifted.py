@@ -134,6 +134,44 @@ def project_lifted(X: jax.Array) -> jax.Array:
     return assemble(project_stiefel(rotations(X)), translations(X))
 
 
+def project_stiefel_ns(M: jax.Array, num_iters: int = 16) -> jax.Array:
+    """SVD-free Stiefel projection via the Newton-Schulz polar iteration:
+    Y <- 0.5 Y (3 I - Y^T Y), converging quadratically to the polar factor
+    U V^T (= the Stiefel projection) for 0 < sigma < sqrt(3).
+
+    Blocks are pre-scaled by 1/||M||_F (an upper bound on sigma_max), making
+    the iteration unconditionally safe. 8 iterations reach ~1e-13 on
+    well-conditioned inputs; the default 16 covers sigma_min down to ~0.1.
+
+    Batched matmuls only — 2x faster than batched SVD in f64 on TPU and 40x
+    in f32, and avoids an XLA:TPU crash on large batched f32 SVDs. Used for
+    the Nesterov Y/V projections in mixed-precision mode.
+    """
+    d = M.shape[-1]
+    s = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True))
+    s = jnp.maximum(s, jnp.finfo(M.dtype).tiny)
+    Y0 = M / s
+
+    # HIGHEST matmul precision is required here: TPU f32 matmuls default to
+    # bf16 MXU passes (~1e-2 relative), and the quadratic NS iteration
+    # amplifies that to ~1e-2 orthonormality error. With full-f32 passes the
+    # result is orthonormal to ~3e-7. (Only these two einsums need it — the
+    # tCG recurrences tolerate default precision because the trust region
+    # bounds step-quality loss.)
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(_, Y):
+        YtY = jnp.einsum("...ra,...rb->...ab", Y, Y, precision=hi)
+        return 1.5 * Y - 0.5 * jnp.einsum("...ra,...ab->...rb", Y, YtY, precision=hi)
+
+    return jax.lax.fori_loop(0, num_iters, body, Y0)
+
+
+def project_lifted_ns(X: jax.Array, num_iters: int = 16) -> jax.Array:
+    """project_lifted with the Newton-Schulz polar instead of SVD."""
+    return assemble(project_stiefel_ns(rotations(X), num_iters), translations(X))
+
+
 def random_stiefel(key: jax.Array, r: int, d: int, dtype=jnp.float64) -> jax.Array:
     """Random point on St(d, r): qf of a standard Gaussian."""
     return _qf(jax.random.normal(key, (r, d), dtype))

@@ -409,11 +409,20 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
         # (A, ms, r, dh) gather of each shared edge's neighbor pose
         return all_pub[pr.shared_nbr_robot, pr.shared_nbr_slot]
 
+    # Nesterov aux-variable projection: exact batched SVD in full precision,
+    # or the SVD-free Newton-Schulz polar in reduced precision (mixed mode) —
+    # ~40x faster on TPU and avoids a batched-f32-SVD compiler crash.
+    if cfg.rtr_inner_dtype:
+        _pdt = jnp.dtype(cfg.rtr_inner_dtype)
+        project = lambda M: lifted.project_lifted_ns(M.astype(_pdt)).astype(M.dtype)
+    else:
+        project = lifted.project_lifted
+
     if cfg.acceleration:
         # gamma/alpha recursions are global scalars (PGOAgent.cpp:910-920)
         gamma = (1.0 + jnp.sqrt(1.0 + 4.0 * N**2 * state_blk.gamma**2)) / (2.0 * N)
         alpha = 1.0 / (gamma * N)
-        Y = lifted.project_lifted((1.0 - alpha) * state_blk.X + alpha * state_blk.V)
+        Y = project((1.0 - alpha) * state_blk.X + alpha * state_blk.V)
         # aux public poses come from Y (PGOAgent.cpp:132-166)
         all_pub_aux = _gather_pub(Y, pr.pub_idx, axis_name)
         nbr_aux = resolve_nbr(all_pub_aux)
@@ -421,7 +430,7 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
             partial(_agent_round, problem_blk, cfg)
         )(Y, a_priv, a_shared, nbr_aux, do_opt)
         # non-optimizing agents take X <- Y (PGOAgent.cpp:943-947)
-        V = lifted.project_lifted(state_blk.V + gamma * (X_upd - Y))
+        V = project(state_blk.V + gamma * (X_upd - Y))
         # periodic restart (PGOAgent.cpp:880-897), simplified: reset aux vars
         restart = (state_blk.it + 1) % cfg.restart_interval == 0
         gamma = jnp.where(restart, 0.0, gamma)

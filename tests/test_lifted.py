@@ -102,3 +102,15 @@ def test_translation_distances():
     av = float(lifted.average_translation_distance(jnp.asarray(X1), jnp.asarray(X2)))
     assert mx == pytest.approx(2.0)
     assert av == pytest.approx(1.0)
+
+
+def test_newton_schulz_matches_svd_projection():
+    rng = np.random.default_rng(6)
+    A = np.asarray(lifted.project_stiefel(jnp.asarray(rng.standard_normal((50, 5, 3)))))
+    B = np.asarray(lifted.project_stiefel(jnp.asarray(rng.standard_normal((50, 5, 3)))))
+    # convex combinations (the Nesterov Y update shape) and V-update shapes
+    for M in [0.7 * A + 0.3 * B, A + 2.5 * (B - A)]:
+        exact = np.asarray(lifted.project_stiefel(jnp.asarray(M)))
+        approx = np.asarray(lifted.project_stiefel_ns(jnp.asarray(M)))
+        np.testing.assert_allclose(approx, exact, atol=1e-9)
+        assert lifted.check_stiefel(approx)
