@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import threading
 import time
 from functools import partial
@@ -904,6 +905,16 @@ class PGOAgent:
             if T is not None:
                 self.logger.log_trajectory(
                     self.d, self.num_poses(), T, "trajectory_optimized.csv"
+                )
+            # pre-rounding lifted solution (reference: PGOAgent.cpp:450-451)
+            if self.X is not None:
+                from dpgo_tpu.utils import write_matrix_to_file
+
+                write_matrix_to_file(
+                    np.asarray(lifted.to_flat(jnp.asarray(self.X))),
+                    os.path.join(self.params.log_directory, "X.txt")
+                    if self.params.log_directory
+                    else "X.txt",
                 )
         self.instance_number += 1
         self.iteration_number = 0
