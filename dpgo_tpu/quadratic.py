@@ -221,13 +221,24 @@ def build_quadratic_data(
 # ---------------------------------------------------------------------------
 
 def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
-    """(V Q) in block form: out_j = sum_i V_i Q_ij. V: (n, r, dh)."""
+    """(V Q) in block form: out_j = sum_i V_i Q_ij. V: (n, r, dh).
+
+    Gathers/scatters run on flattened (n, r*dh) rows: TPU gather/scatter of
+    tiny (r, dh) blocks is ~2.5x slower than of contiguous vectors of the
+    same byte count (measured at 100k poses / 255k edges)."""
     out = jnp.einsum("nrb,nbc->nrc", V, qd.diag)
-    if qd.off_E.shape[0] > 0:
-        Vi = V[qd.off_i]
-        Vj = V[qd.off_j]
-        out = out.at[qd.off_j].add(-jnp.einsum("mrb,mbc->mrc", Vi, qd.off_E))
-        out = out.at[qd.off_i].add(-jnp.einsum("mrb,mcb->mrc", Vj, qd.off_E))
+    m = qd.off_E.shape[0]
+    if m > 0:
+        n, r, dh = V.shape
+        Vf = V.reshape(n, r * dh)
+        Vi = Vf[qd.off_i].reshape(m, r, dh)
+        Vj = Vf[qd.off_j].reshape(m, r, dh)
+        ci = jnp.einsum("mrb,mbc->mrc", Vi, qd.off_E).reshape(m, r * dh)
+        cj = jnp.einsum("mrb,mcb->mrc", Vj, qd.off_E).reshape(m, r * dh)
+        outf = out.reshape(n, r * dh)
+        outf = outf.at[qd.off_j].add(-ci)
+        outf = outf.at[qd.off_i].add(-cj)
+        out = outf.reshape(n, r, dh)
     return out
 
 

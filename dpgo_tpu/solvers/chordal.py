@@ -90,13 +90,17 @@ def _chordal_rotations(
     deg = jnp.zeros((n,), dtype).at[i].add(kappa).at[j].add(kappa)
     E = kappa[:, None, None] * R  # (m, d, d)
 
+    m = i.shape[0]
+
     def laplacian(Rot):
-        out = deg[:, None, None] * Rot
-        Ri = Rot[i]
-        Rj = Rot[j]
-        out = out.at[i].add(-jnp.einsum("mab,mcb->mac", Rj, E))  # -Rot_j E^T
-        out = out.at[j].add(-jnp.einsum("mab,mbc->mac", Ri, E))  # -Rot_i E
-        return out
+        # flat-row gathers/scatters: see quadratic.q_matvec
+        Rf = Rot.reshape(n, d * d)
+        Ri = Rf[i].reshape(m, d, d)
+        Rj = Rf[j].reshape(m, d, d)
+        ci = jnp.einsum("mab,mcb->mac", Rj, E).reshape(m, d * d)  # Rot_j E^T
+        cj = jnp.einsum("mab,mbc->mac", Ri, E).reshape(m, d * d)  # Rot_i E
+        outf = (deg[:, None] * Rf).at[i].add(-ci).at[j].add(-cj)
+        return outf.reshape(n, d, d)
 
     def A(Z):
         return laplacian(Z) * free
