@@ -37,7 +37,6 @@ from dpgo_tpu.ops import lifted
 from dpgo_tpu.posegraph import PoseGraph
 from dpgo_tpu.robust import RobustCost, angular_to_chordal_so3
 from dpgo_tpu.solvers import averaging
-from dpgo_tpu.solvers import chordal as chordal_mod
 from dpgo_tpu.solvers import pgo as pgo_mod
 from dpgo_tpu.solvers import rtr as rtr_mod
 from dpgo_tpu.types import (

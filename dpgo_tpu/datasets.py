@@ -11,7 +11,7 @@ result is an EdgeArrays directly usable by the solvers, or writable as .g2o.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

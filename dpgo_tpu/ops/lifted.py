@@ -16,8 +16,6 @@ Layout conversion: the reference flattens X to an r x (d+1)n matrix
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import threading
 import time
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +23,6 @@ import numpy as np
 from dpgo_tpu import quadratic
 from dpgo_tpu.agent import PGOAgent
 from dpgo_tpu.measurements import RelativeSEMeasurement
-from dpgo_tpu.ops import lifted
 from dpgo_tpu.parallel.partition import partition_measurements
 from dpgo_tpu.parallel.simulation import build_central_evaluation
 from dpgo_tpu.solvers.pgo import chordal_initialization

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
-
 from dpgo_tpu.measurements import RelativeSEMeasurement
 from dpgo_tpu.types import PoseID
 

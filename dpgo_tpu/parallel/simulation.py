@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -20,7 +20,7 @@ from dpgo_tpu import quadratic
 from dpgo_tpu.agent import PGOAgent
 from dpgo_tpu.measurements import EdgeArrays, RelativeSEMeasurement
 from dpgo_tpu.ops import lifted
-from dpgo_tpu.parallel.partition import contiguous_partition, partition_measurements
+from dpgo_tpu.parallel.partition import partition_measurements
 from dpgo_tpu.solvers.pgo import chordal_initialization
 from dpgo_tpu.types import PGOAgentParameters, RobustCostType
 

@@ -49,7 +49,6 @@ from dpgo_tpu.measurements import RelativeSEMeasurement, homogeneous
 from dpgo_tpu.ops import lifted
 from dpgo_tpu.parallel.partition import partition_measurements
 from dpgo_tpu.solvers import rtr as rtr_mod
-from dpgo_tpu.types import PoseID
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ only kappa/tau enter (DPGO_utils.cpp:346-433).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

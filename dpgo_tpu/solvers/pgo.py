@@ -16,8 +16,6 @@ from dpgo_tpu import quadratic
 from dpgo_tpu.measurements import (
     EdgeArrays,
     RelativeSEMeasurement,
-    homogeneous,
-    measurement_error,
     num_poses_and_dim,
 )
 from dpgo_tpu.ops import lifted

@@ -21,7 +21,6 @@ problem shape, zero host round-trips per solve.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Tuple
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 
 class ROptMethod(enum.Enum):
