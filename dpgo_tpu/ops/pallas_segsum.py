@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: CSR segment-sum (sorted scatter-add) over row vectors.
+
+The hot op of the pose-graph quadratic at scale is the per-edge scatter-add
+out[dest[e]] += contrib[e] with contrib rows of r*(d+1) floats. XLA's scatter
+runs ~400x off HBM speed-of-light at 255k edges (docs/PERF.md). This kernel
+exploits the static graph: contributions are pre-sorted by destination (once,
+at build time), so each output row tile owns a contiguous contribution range
+(CSR). The grid walks output tiles; each program streams its (chunk-aligned)
+contribution range HBM->VMEM and accumulates via an in-VMEM one-hot matmul on
+the MXU, writing each output tile exactly once. Measured at 255k edges /
+100k rows (f32, w=20): 8.4 ms vs 19.6 ms for XLA scatter (same harness).
+
+Chunk alignment: a chunk straddling two tiles' ranges is processed by both;
+the one-hot row test (dest == tile rows) discards foreign rows, so no
+masking bookkeeping is needed.
+
+API:
+  plan = make_segsum_plan(dest_sorted, n, ...)        # host, static
+  out  = segment_sum_csr(contrib_sorted, plan)        # jit-able, TPU
+  out  = segment_sum_xla(contrib_sorted, plan)        # scatter fallback
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["dest", "dest3d", "chunk_start", "chunk_count"],
+    meta_fields=["n", "m_padded", "tile_rows", "chunk", "max_chunks"],
+)
+@dataclasses.dataclass(frozen=True)
+class SegsumPlan:
+    """Static plan for a sorted segment-sum.
+
+    dest        : (m_padded,) int32 sorted destination ids (padding -> n)
+    dest3d      : (m_padded // chunk, 8, chunk) the same, chunk-major, rows
+                  replicated 8x (Mosaic requires sublane-dim-8-aligned DMA
+                  slices; ids are ~1/10 of the data bytes, so the waste is
+                  small)
+    chunk_start : (num_tiles,) int32 first chunk index of each output tile
+    chunk_count : (num_tiles,) int32 number of chunks of each output tile
+    """
+
+    n: int
+    m_padded: int
+    tile_rows: int
+    chunk: int
+    max_chunks: int
+    dest: jax.Array
+    dest3d: jax.Array
+    chunk_start: jax.Array
+    chunk_count: jax.Array
+
+
+def make_segsum_plan(
+    dest_sorted: np.ndarray,
+    n: int,
+    tile_rows: int = 1024,
+    chunk: int = 1024,
+) -> SegsumPlan:
+    """Build the static plan from sorted destination ids (host-side)."""
+    dest_sorted = np.asarray(dest_sorted, np.int32)
+    assert np.all(np.diff(dest_sorted) >= 0), "destinations must be sorted"
+    m = len(dest_sorted)
+    m_padded = max(((m + chunk - 1) // chunk) * chunk, chunk)
+    dest_p = np.concatenate([dest_sorted, np.full(m_padded - m, n, np.int32)])
+    num_tiles = (n + tile_rows - 1) // tile_rows
+    boundaries = np.arange(num_tiles + 1) * tile_rows
+    tile_ptr = np.searchsorted(dest_p, boundaries, side="left").astype(np.int64)
+    chunk_start = (tile_ptr[:-1] // chunk).astype(np.int32)
+    chunk_end = np.ceil(tile_ptr[1:] / chunk).astype(np.int32)
+    chunk_count = np.maximum(chunk_end - chunk_start, 0).astype(np.int32)
+    return SegsumPlan(
+        n=n,
+        m_padded=m_padded,
+        tile_rows=tile_rows,
+        chunk=chunk,
+        max_chunks=int(chunk_count.max()) if num_tiles else 0,
+        dest=jnp.asarray(dest_p),
+        dest3d=jnp.asarray(
+            np.broadcast_to(
+                dest_p.reshape(-1, 1, chunk), (m_padded // chunk, 8, chunk)
+            ).copy()
+        ),
+        chunk_start=jnp.asarray(chunk_start),
+        chunk_count=jnp.asarray(chunk_count),
+    )
+
+
+def segment_sum_xla(contrib_sorted: jax.Array, plan: SegsumPlan) -> jax.Array:
+    """Reference/fallback path: plain scatter-add."""
+    m = contrib_sorted.shape[0]
+    out = jnp.zeros((plan.n, contrib_sorted.shape[1]), contrib_sorted.dtype)
+    return out.at[plan.dest[:m]].add(contrib_sorted, indices_are_sorted=True)
+
+
+def _segsum_kernel(
+    chunk_start_ref,  # scalar prefetch (num_tiles,)
+    chunk_count_ref,  # scalar prefetch (num_tiles,)
+    dest_ref,  # (nchunks, 8, chunk) int32, HBM (rows replicated)
+    c_ref,  # (nchunks, w_pad, chunk), HBM (transposed chunks)
+    out_ref,  # (tile_rows, w) VMEM block
+    dest_buf,  # VMEM (1, 8, chunk) int32 scratch
+    data_buf,  # VMEM (1, w_pad, chunk) scratch
+    sems,  # DMA semaphores (2, 2)
+    *,
+    tile_rows: int,
+    chunk: int,
+    w_pad: int,
+):
+    k = pl.program_id(0).astype(jnp.int32)
+    first = chunk_start_ref[k].astype(jnp.int32)
+    count = chunk_count_ref[k].astype(jnp.int32)
+    base_row = k * jnp.int32(tile_rows)
+    row_ids = base_row + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, 1), 0
+    )
+
+    # all indices int32: weak i64 literals fail Mosaic verification in x64
+    i0, i1 = jnp.int32(0), jnp.int32(1)
+
+    def body(c, acc):
+        # Single-buffered streaming: cross-iteration DMA start/wait pairs
+        # (classic double buffering) fail Mosaic legalization here; chunk DMA
+        # is ~56 KB and overlaps poorly with the small matmul anyway.
+        c = c.astype(jnp.int32)
+        d1 = pltpu.make_async_copy(
+            dest_ref.at[first + c], dest_buf.at[i0], sems.at[i0, i0]
+        )
+        d2 = pltpu.make_async_copy(
+            c_ref.at[first + c], data_buf.at[i0], sems.at[i0, i1]
+        )
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+        dest_chunk = dest_buf[i0][0:1, :]  # (1, chunk)
+        data_chunk = data_buf[i0]  # (w_pad, chunk)
+        onehot = (row_ids == dest_chunk).astype(data_chunk.dtype)  # (tile_rows, chunk)
+        # contract the chunk axis of both: (tile_rows, chunk)x(w_pad, chunk)
+        return acc + jax.lax.dot_general(
+            onehot,
+            data_chunk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc.dtype,
+        )
+
+    acc0 = jnp.zeros((tile_rows, w_pad), out_ref.dtype)
+    out_ref[:, :] = jax.lax.fori_loop(
+        jnp.int32(0), count, body, acc0
+    )
+
+
+def segment_sum_csr(
+    contrib_sorted: jax.Array,
+    plan: SegsumPlan,
+    interpret: bool = False,
+) -> jax.Array:
+    """Segment-sum of pre-sorted contributions via the Pallas kernel.
+
+    contrib_sorted: (m, w) with m <= plan.m_padded; padded internally.
+    Returns (n, w).
+    """
+    m, w = contrib_sorted.shape
+    dtype = contrib_sorted.dtype
+    if plan.m_padded > m:
+        contrib_sorted = jnp.concatenate(
+            [contrib_sorted, jnp.zeros((plan.m_padded - m, w), dtype)], axis=0
+        )
+    # DMA slice alignment (sublane multiple of 8, lane multiple of 128):
+    # chunks are shipped transposed as (w_pad, chunk) with w padded to 8.
+    w_pad = ((w + 7) // 8) * 8
+    c3d = jnp.swapaxes(contrib_sorted.reshape(-1, plan.chunk, w), 1, 2)
+    if w_pad > w:
+        c3d = jnp.concatenate(
+            [c3d, jnp.zeros((c3d.shape[0], w_pad - w, plan.chunk), dtype)],
+            axis=1,
+        )
+    num_tiles = (plan.n + plan.tile_rows - 1) // plan.tile_rows
+
+    kernel = partial(
+        _segsum_kernel, tile_rows=plan.tile_rows, chunk=plan.chunk, w_pad=w_pad
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dest3d
+            pl.BlockSpec(memory_space=pltpu.ANY),  # contributions
+        ],
+        out_specs=pl.BlockSpec((plan.tile_rows, w_pad), lambda k, *_: (k, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, 8, plan.chunk), jnp.int32),
+            pltpu.VMEM((1, w_pad, plan.chunk), dtype),
+            pltpu.SemaphoreType.DMA((1, 2)),
+        ],
+    )
+    # Pallas TPU lowering emits weak i64 scalars in x64 mode that Mosaic
+    # cannot legalize ("failed to legalize operation 'func.func'"); trace the
+    # kernel with x64 disabled — all operand dtypes here are explicit
+    # f32/int32, so semantics are unchanged.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (num_tiles * plan.tile_rows, w_pad), dtype
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(plan.chunk_start, plan.chunk_count, plan.dest3d, c3d)
+    return out[: plan.n, :w]
