@@ -160,3 +160,43 @@ def test_reset():
     assert agent.state == PGOAgentState.WAIT_FOR_DATA
     assert agent.instance_number == 1
     assert agent.iteration_number == 0
+
+
+def test_agent_rgd_mode():
+    """RGD local optimization path (reference: QuadraticOptimizer.cpp:110-137)."""
+    from dpgo_tpu.types import ROptMethod, ROptParameters
+
+    odometry, private_lcs, T_true = _triangle_measurements()
+    params = PGOAgentParameters(
+        3, 3, 1,
+        local_opt_params=ROptParameters(method=ROptMethod.RGD, RGD_stepsize=5e-3),
+    )
+    agent = PGOAgent(0, params)
+    agent.set_measurements(odometry, private_lcs, [])
+    agent.initialize()
+    for _ in range(5):
+        agent.iterate(True)
+    # RGD steps must not corrupt the (already near-optimal) estimate
+    T = agent.get_trajectory_in_local_frame()
+    assert np.linalg.norm(T_true - T) < 1e-3
+
+
+def test_agent_warm_start_and_log(tmp_path):
+    """initialize(T_init) warm start + log_data artifacts on reset
+    (reference: PGOAgent.cpp:211-217, 438-452)."""
+    odometry, private_lcs, T_true = _triangle_measurements()
+    params = PGOAgentParameters(3, 3, 1, log_data=True, log_directory=str(tmp_path))
+    agent = PGOAgent(0, params)
+    agent.set_measurements(odometry, private_lcs, [])
+    agent.initialize(T_init=T_true)
+    T = agent.get_trajectory_in_local_frame()
+    # warm start preserved (the hard-coded rotations are only 4-decimal
+    # accurate, so SO(3) projection contributes ~1e-4)
+    assert np.linalg.norm(T_true - T) < 1e-3
+    agent.iterate(True)
+    agent.set_global_anchor(agent.X[0])
+    agent.reset()
+    import os
+    assert os.path.exists(str(tmp_path / "measurements.csv"))
+    assert os.path.exists(str(tmp_path / "trajectory_optimized.csv"))
+    assert os.path.exists(str(tmp_path / "X.txt"))
