@@ -189,6 +189,91 @@ def main():
         except Exception as e:  # secondary metric must not break the bench
             print(f"distributed-rbcd failed: {e}", file=sys.stderr)
 
+    if "--all" in sys.argv:
+        # BASELINE.json configs #3 (city10000, 5 agents) and #4 (INTEL GNC)
+        try:
+            city = run_city10000()
+            print("city10000-rbcd5: " + json.dumps(city), file=sys.stderr)
+        except Exception as e:
+            print(f"city10000 failed: {e}", file=sys.stderr)
+        try:
+            gnc = run_intel_gnc()
+            print("intel-gnc: " + json.dumps(gnc), file=sys.stderr)
+        except Exception as e:
+            print(f"intel-gnc failed: {e}", file=sys.stderr)
+
+
+def run_city10000():
+    """Config #3: multi-robot synchronous RBCD (5 agents), city10000 (SE2)."""
+    import jax
+
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.ops import lifted
+    from dpgo_tpu.parallel import spmd
+    from dpgo_tpu.solvers.pgo import chordal_initialization
+
+    meas, n = read_g2o_file("/root/reference/data/city10000.g2o")
+    d, r, agents = 2, 3, 5
+    T = chordal_initialization(meas)
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=agents, r=r)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    mixed = jax.devices()[0].platform != "cpu"
+    cfg = spmd.SPMDConfig(
+        mode="all", acceleration=True, rtr_iterations=1,
+        rtr_gradnorm_tol=TOL / (2 * np.sqrt(agents)),
+        rtr_inner_dtype="float32" if mixed else None,
+    )
+    run_fn = spmd.make_run_fn(problem, cfg, mesh=None)
+    s_warm, _, _ = run_fn(state, 1, TOL)
+    np.asarray(s_warm.X)
+    t0 = time.perf_counter()
+    rounds, g = 0, float("inf")
+    while rounds < 600 and g >= TOL:
+        state, metrics, rr = run_fn(state, 50, TOL)
+        rounds += int(rr)
+        g = float(metrics.gradnorm)
+    np.asarray(state.X)
+    return {
+        "elapsed_s": round(time.perf_counter() - t0, 2),
+        "rounds": rounds,
+        "gradnorm": round(g, 5),
+        "cost": round(float(metrics.cost), 3),
+    }
+
+
+def run_intel_gnc():
+    """Config #4: GNC robust PGO on input_INTEL_g2o.g2o (SE2, distributed)."""
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.ops import lifted
+    from dpgo_tpu.parallel import spmd
+    from dpgo_tpu.solvers.pgo import chordal_initialization
+
+    meas, n = read_g2o_file("/root/reference/data/input_INTEL_g2o.g2o")
+    d, r, agents = 2, 3, 2
+    T = chordal_initialization(meas)
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=agents, r=r)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    t0 = time.perf_counter()
+    problem_out, state_out, hist = spmd.run_rbcd_gnc(
+        problem, state, cfg, barc=5.0, num_weight_updates=10, inner_rounds=20
+    )
+    w = np.asarray(problem_out.priv_weight)
+    fx = np.asarray(problem_out.priv_fixed_weight)
+    free = ~fx & (np.asarray(problem_out.priv_kappa) > 0)
+    rejected = int(((w < 1e-6) & free).sum())
+    total = int(free.sum())
+    return {
+        "elapsed_s": round(time.perf_counter() - t0, 2),
+        "rejected_lcs": rejected,
+        "free_lcs": total,
+        "final_cost": round(hist[-1]["cost"], 3),
+    }
+
 
 if __name__ == "__main__":
     main()
