@@ -214,6 +214,9 @@ def run_city10000():
 
     meas, n = read_g2o_file("/root/reference/data/city10000.g2o")
     d, r, agents = 2, 3, 5
+    # the reference's multi-robot example stops at global gradnorm < 0.1
+    # (MultiRobotExample.cpp:229); 1e-2 is the per-agent local tol
+    tol = 0.1
     T = chordal_initialization(meas)
     problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=agents, r=r)
     Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
@@ -222,16 +225,16 @@ def run_city10000():
     mixed = jax.devices()[0].platform != "cpu"
     cfg = spmd.SPMDConfig(
         mode="all", acceleration=True, rtr_iterations=1,
-        rtr_gradnorm_tol=TOL / (2 * np.sqrt(agents)),
+        rtr_gradnorm_tol=tol / (2 * np.sqrt(agents)),
         rtr_inner_dtype="float32" if mixed else None,
     )
     run_fn = spmd.make_run_fn(problem, cfg, mesh=None)
-    s_warm, _, _ = run_fn(state, 1, TOL)
+    s_warm, _, _ = run_fn(state, 1, tol)
     np.asarray(s_warm.X)
     t0 = time.perf_counter()
     rounds, g = 0, float("inf")
-    while rounds < 600 and g >= TOL:
-        state, metrics, rr = run_fn(state, 50, TOL)
+    while rounds < 1000 and g >= tol:
+        state, metrics, rr = run_fn(state, 50, tol)
         rounds += int(rr)
         g = float(metrics.gradnorm)
     np.asarray(state.X)

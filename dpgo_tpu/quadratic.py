@@ -50,7 +50,7 @@ from dpgo_tpu.types import PRECONDITIONER_SHIFT, PRIOR_KAPPA, PRIOR_TAU
         "shared_outgoing", "shared_nbr_slot", "shared_mask",
         "prior_idx", "prior_pose", "prior_mask",
     ],
-    meta_fields=["n", "d"],
+    meta_fields=["n", "d", "num_band"],
 )
 @dataclasses.dataclass(frozen=True)
 class LocalProblem:
@@ -86,6 +86,11 @@ class LocalProblem:
     prior_idx: jax.Array
     prior_pose: jax.Array
     prior_mask: jax.Array
+    # first num_band private edges form the odometry band: edge k connects
+    # (priv_i[k], priv_i[k]+1) with unique priv_i — their matvec contributions
+    # lower to shifted dense batched matmuls instead of gather/scatter
+    # (see with_band_ordering / q_matvec)
+    num_band: int = 0
 
     @property
     def dh(self) -> int:
@@ -121,7 +126,8 @@ class CSRPlans:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["diag", "off_i", "off_j", "off_E", "G", "precond_inv", "csr"],
+    data_fields=["diag", "off_i", "off_j", "off_E", "G", "precond_inv",
+                 "band_E", "csr"],
     meta_fields=["n", "d"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +155,9 @@ class QuadraticData:
     off_E: jax.Array
     G: jax.Array
     precond_inv: jax.Array
+    # (n-1, dh, dh) dense odometry-band blocks (zeros where no band edge), or
+    # None when the problem carries no band ordering
+    band_E: Optional[jax.Array] = None
     csr: Optional[CSRPlans] = None
 
 
@@ -193,6 +202,19 @@ def build_quadratic_data(
     diag = diag.at[problem.priv_i].add(W)
     diag = diag.at[problem.priv_j].add(_diag_embed(om_p))
 
+    # odometry band: dense (n-1, dh, dh) blocks, remaining edges via indices
+    nb = problem.num_band
+    if nb > 0 and n > 1:
+        band_E = jnp.zeros((n - 1, dh, dh), dtype).at[problem.priv_i[:nb]].set(
+            E[:nb]
+        )
+        off_i, off_j, off_E = (
+            problem.priv_i[nb:], problem.priv_j[nb:], E[nb:],
+        )
+    else:
+        band_E = None
+        off_i, off_j, off_E = problem.priv_i, problem.priv_j, E
+
     # --- shared edges (diagonal contributions) ---
     om_s = _omega(problem.shared_kappa, problem.shared_tau, problem.shared_weight, d)
     om_s = om_s * problem.shared_mask[:, None]
@@ -231,8 +253,8 @@ def build_quadratic_data(
 
     return QuadraticData(
         n=n, d=d, diag=diag,
-        off_i=problem.priv_i, off_j=problem.priv_j, off_E=E,
-        G=G, precond_inv=precond_inv, csr=None,
+        off_i=off_i, off_j=off_j, off_E=off_E,
+        G=G, precond_inv=precond_inv, band_E=band_E, csr=None,
     )
 
 
@@ -251,10 +273,15 @@ def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
     scatter-adds run through the Pallas CSR segment-sum kernel instead of
     XLA scatter (2.3x at 255k edges)."""
     out = jnp.einsum("nrb,nbc->nrc", V, qd.diag)
+    n, r, dh = V.shape
+    if qd.band_E is not None:
+        # odometry band: edge s connects (s, s+1) -> shifted batched matmuls
+        contrib_j = jnp.einsum("nrb,nbc->nrc", V[:-1], qd.band_E)
+        contrib_i = jnp.einsum("nrb,ncb->nrc", V[1:], qd.band_E)
+        out = out.at[1:].add(-contrib_j).at[:-1].add(-contrib_i)
     m = qd.off_E.shape[0]
     if m == 0:
         return out
-    n, r, dh = V.shape
     Vf = V.reshape(n, r * dh)
     if qd.csr is not None and V.dtype == jnp.float32:
         from dpgo_tpu.ops import pallas_segsum as _ps
@@ -425,15 +452,49 @@ def make_local_problem(
     )
 
 
-def from_private_measurements(edges, n: int, d: int, dtype=jnp.float64) -> LocalProblem:
+def with_band_ordering(problem: LocalProblem) -> LocalProblem:
+    """Host-side: reorder private edges so the odometry band (j == i+1, one
+    edge per i) comes first, and set num_band. The band's matvec contributions
+    then lower to shifted dense batched matmuls (no gather/scatter)."""
+    i_np = np.asarray(problem.priv_i)
+    j_np = np.asarray(problem.priv_j)
+    is_band = j_np == i_np + 1
+    # one band edge per source slot: keep the first, demote duplicates
+    slots, first_idx = np.unique(i_np[is_band], return_index=True)
+    band_pos = np.flatnonzero(is_band)[first_idx]
+    band_mask = np.zeros(len(i_np), bool)
+    band_mask[band_pos] = True
+    order = np.concatenate([np.flatnonzero(band_mask), np.flatnonzero(~band_mask)])
+    nb = int(band_mask.sum())
+
+    def perm(x):
+        return x[jnp.asarray(order)] if x.shape[0] == len(order) else x
+
+    return dataclasses.replace(
+        problem,
+        priv_i=problem.priv_i[jnp.asarray(order)],
+        priv_j=problem.priv_j[jnp.asarray(order)],
+        priv_T=problem.priv_T[jnp.asarray(order)],
+        priv_kappa=problem.priv_kappa[jnp.asarray(order)],
+        priv_tau=problem.priv_tau[jnp.asarray(order)],
+        priv_weight=problem.priv_weight[jnp.asarray(order)],
+        num_band=nb,
+    )
+
+
+def from_private_measurements(
+    edges, n: int, d: int, dtype=jnp.float64, band: bool = True
+) -> LocalProblem:
     """LocalProblem with only private edges, from an EdgeArrays (all endpoints
-    must belong to the same robot)."""
+    must belong to the same robot). band=True orders the odometry chain first
+    so its matvec contributions avoid gather/scatter."""
     from dpgo_tpu.measurements import homogeneous
 
     T = homogeneous(edges.R, edges.t).astype(np.float64)
-    return make_local_problem(
+    problem = make_local_problem(
         n=n, d=d,
         priv_i=edges.p1, priv_j=edges.p2, priv_T=T,
         priv_kappa=edges.kappa, priv_tau=edges.tau, priv_weight=edges.weight,
         dtype=dtype,
     )
+    return with_band_ordering(problem) if band else problem
