@@ -68,7 +68,7 @@ _DATA_FIELDS = [
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=_DATA_FIELDS,
-    meta_fields=["num_agents", "n_max", "d", "r"],
+    meta_fields=["num_agents", "n_max", "d", "r", "num_band"],
 )
 @dataclasses.dataclass(frozen=True)
 class SPMDProblem:
@@ -84,6 +84,7 @@ class SPMDProblem:
     n_max: int
     d: int
     r: int
+    num_band: int
     # private edges (N, mp) / (N, mp, dh, dh)
     priv_i: jax.Array
     priv_j: jax.Array
@@ -164,8 +165,14 @@ def build_spmd_problem(
     )
 
     n_max = max(end - start for start, end in ranges)
-    priv_lists = [odometry[a] + private_lcs[a] for a in range(num_agents)]
-    mp_max = max(1, max(len(p) for p in priv_lists))
+    # Private-edge layout per agent: the first n_max-1 slots are the odometry
+    # band (slot k = edge k -> k+1, zero-padded where absent), then loop
+    # closures. Contiguous partitions give every agent a full chain, so the
+    # band is uniform across agents and num_band = n_max - 1 is a static
+    # constant — q_matvec lowers the band to shifted dense matmuls.
+    num_band = max(n_max - 1, 0)
+    lc_lists = [private_lcs[a] for a in range(num_agents)]
+    mp_max = num_band + max(1, max((len(p) for p in lc_lists), default=1))
     ms_max = max(1, max(len(s) for s in shared_lcs))
 
     # public-pose slots: for each agent, sorted local frame ids that appear in
@@ -214,7 +221,25 @@ def build_spmd_problem(
     for a in range(num_agents):
         n_a = ranges[a][1] - ranges[a][0]
         POSM[a, :n_a] = 1.0
-        for k, m in enumerate(priv_lists[a]):
+        # band slots (odometry): slot = source frame id
+        for m in odometry[a]:
+            k = m.p1
+            assert m.p2 == m.p1 + 1 and k < num_band
+            P_i[a, k] = m.p1
+            P_j[a, k] = m.p2
+            P_T[a, k] = homogeneous(m.R, m.t)
+            P_k[a, k] = m.kappa
+            P_t[a, k] = m.tau
+            P_w[a, k] = m.weight
+            P_fx[a, k] = m.fixed_weight
+        # empty band slots must still be valid (i, i+1) pairs with zero data
+        for k in range(num_band):
+            if P_j[a, k] == 0 and k > 0:
+                P_i[a, k] = k
+                P_j[a, k] = min(k + 1, n_max - 1)
+        # loop closures after the band
+        for off, m in enumerate(lc_lists[a]):
+            k = num_band + off
             P_i[a, k] = m.p1
             P_j[a, k] = m.p2
             P_T[a, k] = homogeneous(m.R, m.t)
@@ -243,7 +268,7 @@ def build_spmd_problem(
             PUBM[a, k] = 1.0
 
     problem = SPMDProblem(
-        num_agents=num_agents, n_max=n_max, d=d, r=r,
+        num_agents=num_agents, n_max=n_max, d=d, r=r, num_band=num_band,
         priv_i=jnp.asarray(P_i), priv_j=jnp.asarray(P_j),
         priv_T=jnp.asarray(P_T, dtype),
         priv_kappa=jnp.asarray(P_k, dtype), priv_tau=jnp.asarray(P_t, dtype),
@@ -300,7 +325,7 @@ def _agent_local_problem(problem: SPMDProblem, a_priv, a_shared) -> quadratic.Lo
     # neighbor buffer is indexed by edge position (identity slots).
     ms = sidx.shape[0]
     return quadratic.LocalProblem(
-        n=problem.n_max, d=problem.d,
+        n=problem.n_max, d=problem.d, num_band=problem.num_band,
         priv_i=pi, priv_j=pj, priv_T=pT,
         priv_kappa=pk, priv_tau=pt, priv_weight=pw,
         shared_idx=sidx, shared_T=sT,
@@ -521,6 +546,7 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
     )
     problem_specs = SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
+        num_band=problem.num_band,
         **{f: blk_spec for f in _DATA_FIELDS},
     )
     fn = jax.shard_map(
@@ -713,6 +739,7 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
     state_specs = SPMDState(X=blk_spec, Y=blk_spec, V=blk_spec, gamma=rep, it=rep)
     problem_specs = SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
+        num_band=problem.num_band,
         **{f: blk_spec for f in _DATA_FIELDS},
     )
     fn = jax.shard_map(

@@ -168,3 +168,36 @@ def test_spmd_checkpoint_roundtrip(tmp_path, small_setup):
     a, _, _ = step(s1, jnp.asarray(-1, jnp.int32))
     b, _, _ = step(s2, jnp.asarray(-1, jnp.int32))
     np.testing.assert_allclose(np.asarray(a.X), np.asarray(b.X), atol=0)
+
+
+def test_spmd_se2():
+    """SE(2) problems run through the mesh path (rank r=3 over St(2,3))."""
+    rng = np.random.default_rng(90)
+    theta = rng.uniform(-np.pi, np.pi, 12)
+
+    def rot(a):
+        return np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+
+    from dpgo_tpu.measurements import RelativeSEMeasurement
+
+    Rw = [rot(a) for a in theta]
+    tw = [rng.standard_normal(2) for _ in range(12)]
+
+    def rel(i, j):
+        return RelativeSEMeasurement(
+            0, 0, i, j, Rw[i].T @ Rw[j], Rw[i].T @ (tw[j] - tw[i]), 4.0, 2.0
+        )
+
+    meas = [rel(i, i + 1) for i in range(11)] + [rel(0, 6), rel(3, 9), rel(2, 11)]
+    problem, ranges = spmd.build_spmd_problem(meas, 12, num_agents=2, r=3)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(2, 3))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1)
+    run = spmd.make_run_fn(problem, cfg, mesh=None)
+    state, metrics, rounds = run(state, 200, 1e-4)
+    # noiseless edges: optimum cost ~ 0
+    assert float(metrics.cost) < 1e-6
+    X = spmd.assemble_global(state, ranges, 12)
+    assert lifted.check_stiefel(X[:, :, :2])
