@@ -55,6 +55,8 @@ class PoseGraph:
         self.neighbor_poses: Dict[PoseID, np.ndarray] = {}
         self._problem_cache: Optional[quadratic.LocalProblem] = None
         self._slot_of_nbr_pose: Dict[PoseID, int] = {}
+        self.ms_build_structure = 0.0
+        self.ms_build_values = 0.0
 
     def empty(self) -> None:
         self._empty()
@@ -338,13 +340,21 @@ class PoseGraph:
 
     def local_problem(self) -> Tuple[quadratic.LocalProblem, np.ndarray]:
         """Return (LocalProblem with current weights/masks, neighbor pose
-        buffer (p, r, dh)). Call data_matrices_ready() first."""
+        buffer (p, r, dh)). Call data_matrices_ready() first.
+
+        Timing of the assembly is recorded in ms_build_structure /
+        ms_build_values (the analog of the reference's ms_construct_Q/G
+        fields, PoseGraph.h:334-337; Q/G themselves are assembled inside the
+        jitted local solve)."""
         import dataclasses as _dc
+        import time as _time
 
         import jax.numpy as jnp
 
+        t0 = _time.perf_counter()
         if self._problem_cache is None:
             self._problem_cache = self._build_problem_structure()
+            self.ms_build_structure = (_time.perf_counter() - t0) * 1e3
         base = self._problem_cache
 
         priv = self.local_measurements()
@@ -381,4 +391,5 @@ class PoseGraph:
             shared_weight=jnp.asarray(shared_w),
             shared_mask=jnp.asarray(shared_mask),
         )
+        self.ms_build_values = (_time.perf_counter() - t0) * 1e3
         return problem, nbr_buf
