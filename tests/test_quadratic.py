@@ -184,3 +184,20 @@ def test_precond_spd():
     V = np.asarray(lifted.proj_tangent(jnp.asarray(X), jnp.asarray(rng.standard_normal((n, r, d + 1)))))
     PV = quadratic.apply_precond(qd, jnp.asarray(X), jnp.asarray(V))
     assert float(jnp.vdot(jnp.asarray(V), PV)) > 0
+
+
+def test_band_split_matches_plain():
+    """The (experimental) odometry-band split produces identical matvecs."""
+    rng = np.random.default_rng(17)
+    n, d, r = 12, 3, 5
+    meas, _ = oracle.random_measurements(rng, n, d, 4)
+    edges = EdgeArrays.from_measurements(meas)
+    p_plain = quadratic.from_private_measurements(edges, n=n, d=d, band=False)
+    p_band = quadratic.from_private_measurements(edges, n=n, d=d, band=True)
+    assert p_band.num_band == n - 1
+    qd_a = quadratic.build_quadratic_data(p_plain, jnp.zeros((1, r, d + 1)), r=r)
+    qd_b = quadratic.build_quadratic_data(p_band, jnp.zeros((1, r, d + 1)), r=r)
+    V = rng.standard_normal((n, r, d + 1))
+    out_a = np.asarray(quadratic.q_matvec(qd_a, jnp.asarray(V)))
+    out_b = np.asarray(quadratic.q_matvec(qd_b, jnp.asarray(V)))
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-12, atol=1e-12)
