@@ -133,7 +133,7 @@ def run_distributed(meas, n):
     state = state0
     total_rounds = 0
     gradnorm = float("inf")
-    while total_rounds < 600 and gradnorm >= TOL:
+    while total_rounds < 900 and gradnorm >= TOL:
         state, metrics, rounds = run_fn(state, 50, TOL)
         total_rounds += int(rounds)
         gradnorm = float(metrics.gradnorm)
