@@ -337,6 +337,63 @@ def rgd_step(
     return lifted.retract(Y0, -stepsize * direction)
 
 
+@partial(jax.jit, static_argnames=("max_iterations",))
+def rsd_line_search(
+    qd: QuadraticData,
+    Y0: jax.Array,
+    gradnorm_tol: float = 1e-2,
+    max_iterations: int = 10,
+    initial_step: float = 1.0,
+    backtrack: float = 0.5,
+    armijo: float = 1e-4,
+    max_backtracks: int = 20,
+) -> Tuple[jax.Array, RTRStats]:
+    """Riemannian steepest descent with Armijo backtracking line search — the
+    counterpart of the reference's (unused) ROPTLIB::RSD path
+    (QuadraticOptimizer.cpp:139-160: tol 1e-2, 10 iterations)."""
+
+    def body(state):
+        X, fx, grad, gnorm, it = state
+
+        def ls_cond(c):
+            t, f_new, X_new, k = c
+            armijo_ok = f_new <= fx - armijo * t * gnorm**2
+            return jnp.logical_and(jnp.logical_not(armijo_ok), k < max_backtracks)
+
+        def ls_body(c):
+            t, _, _, k = c
+            t = t * backtrack
+            X_new = lifted.retract(X, -t * grad)
+            return (t, quadratic.cost(qd, X_new), X_new, k + 1)
+
+        t0 = jnp.asarray(initial_step, X.dtype)
+        X_try = lifted.retract(X, -t0 * grad)
+        t, f_new, X_new, _ = jax.lax.while_loop(
+            ls_cond, ls_body, (t0, quadratic.cost(qd, X_try), X_try, 0)
+        )
+        accept = f_new < fx
+        X_next = jnp.where(accept, X_new, X)
+        f_next = jnp.where(accept, f_new, fx)
+        g_next = quadratic.rie_grad(qd, X_next)
+        return (X_next, f_next, g_next, lifted.norm(g_next), it + 1)
+
+    g0 = quadratic.rie_grad(qd, Y0)
+    state0 = (Y0, quadratic.cost(qd, Y0), g0, lifted.norm(g0),
+              jnp.asarray(0, jnp.int32))
+    f_init, g_init = state0[1], state0[3]
+
+    def cond(state):
+        return jnp.logical_and(state[4] < max_iterations, state[3] >= gradnorm_tol)
+
+    X, fx, _, gnorm, it = jax.lax.while_loop(cond, body, state0)
+    stats = RTRStats(
+        f_init=f_init, gnorm_init=g_init, f_opt=fx, gnorm_opt=gnorm,
+        iterations=it, accepted=jnp.asarray(True),
+        tcg_iters=jnp.asarray(0, jnp.int32),
+    )
+    return X, stats
+
+
 def optimize(qd: QuadraticData, Y0: jax.Array, params: ROptParameters):
     """Dispatch mirroring QuadraticOptimizer::optimize (reference:
     QuadraticOptimizer.cpp:26-48). Returns (Yopt, RTRStats)."""

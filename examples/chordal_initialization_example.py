@@ -8,7 +8,10 @@ Counterpart of the reference's chordal-initialization-example
 relaxation and reports its cost.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 

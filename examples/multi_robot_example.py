@@ -9,7 +9,10 @@ acceleration at rank r=5, greedy block selection, stop at global Riemannian
 gradient norm < 0.1 or 1000 iterations.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dpgo_tpu.io.g2o import read_g2o_file
 from dpgo_tpu.parallel.simulation import run_synchronous_rbcd

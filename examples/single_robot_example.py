@@ -8,7 +8,10 @@ Counterpart of the reference's single-robot-example
 pose graph by iterating RBCD steps to convergence.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -8,7 +8,10 @@ Counterpart of the reference's single-robot-gnc-example
 rejecting outlier loop closures.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dpgo_tpu.io.g2o import read_g2o_file
 from dpgo_tpu.solvers.pgo import SolveRobustPGOParams, solve_robust_pgo

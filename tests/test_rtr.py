@@ -115,3 +115,15 @@ def test_mixed_precision_matches_f64_optimum():
     assert float(smx.gnorm_opt) < 1e-6
     np.testing.assert_allclose(float(smx.f_opt), float(s64.f_opt), rtol=1e-9)
     assert lifted.check_stiefel(np.asarray(Ymx)[:, :, :3])
+
+
+def test_rsd_line_search():
+    """Armijo-backtracking RSD decreases monotonically and converges on an
+    easy instance (reference's unused RSD path, QuadraticOptimizer.cpp:139-160)."""
+    rng = np.random.default_rng(37)
+    qd = _problem(rng, n=6, d=3, r=5)
+    Y0 = lifted.identity_lifted(6, 5, 3)
+    Y, stats = rtr_mod.rsd_line_search(qd, Y0, gradnorm_tol=1e-3, max_iterations=500)
+    assert float(stats.f_opt) < float(stats.f_init)
+    assert float(stats.gnorm_opt) < 1e-3
+    assert lifted.check_stiefel(np.asarray(Y)[:, :, :3])
