@@ -190,17 +190,18 @@ def main():
             print(f"distributed-rbcd failed: {e}", file=sys.stderr)
 
     if "--all" in sys.argv:
-        # BASELINE.json configs #3 (city10000, 5 agents) and #4 (INTEL GNC)
-        try:
-            city = run_city10000()
-            print("city10000-rbcd5: " + json.dumps(city), file=sys.stderr)
-        except Exception as e:
-            print(f"city10000 failed: {e}", file=sys.stderr)
-        try:
-            gnc = run_intel_gnc()
-            print("intel-gnc: " + json.dumps(gnc), file=sys.stderr)
-        except Exception as e:
-            print(f"intel-gnc failed: {e}", file=sys.stderr)
+        # BASELINE.json configs #3 (city10000, 5 agents) and #4 (INTEL GNC).
+        # The tunnel's worker takes ~1 min to recover after a crash; retry
+        # each config once after a cool-down.
+        for name, fn in [("city10000-rbcd5", run_city10000),
+                         ("intel-gnc", run_intel_gnc)]:
+            for attempt in range(2):
+                try:
+                    print(f"{name}: " + json.dumps(fn()), file=sys.stderr)
+                    break
+                except Exception as e:
+                    print(f"{name} attempt {attempt} failed: {e}", file=sys.stderr)
+                    time.sleep(75)
 
 
 def run_city10000():
