@@ -201,3 +201,27 @@ def test_spmd_se2():
     assert float(metrics.cost) < 1e-6
     X = spmd.assemble_global(state, ranges, 12)
     assert lifted.check_stiefel(X[:, :, :2])
+
+
+def test_sharded_two_agents_per_device():
+    """8 agents over a 4-device mesh (A=2 per device): the vmapped local
+    solve + collectives must agree with the single-device path."""
+    meas, n = read_g2o_file("/root/reference/data/smallGrid3D.g2o")
+    r = 5
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=8, r=r)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1)
+
+    step_local = spmd.make_step_fn(problem, cfg, mesh=None)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("agents",))
+    step_sharded = spmd.make_step_fn(problem, cfg, mesh=mesh)
+    sel = jnp.asarray(-1, jnp.int32)
+    s_l, s_s = state, state
+    for _ in range(2):
+        s_l, m_l, _ = step_local(s_l, sel)
+        s_s, m_s, _ = step_sharded(s_s, sel)
+    np.testing.assert_allclose(np.asarray(s_l.X), np.asarray(s_s.X), atol=1e-9)
+    np.testing.assert_allclose(float(m_l.gradnorm), float(m_s.gradnorm), rtol=1e-8)
