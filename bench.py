@@ -213,12 +213,25 @@ def run_city10000():
     from dpgo_tpu.parallel import spmd
     from dpgo_tpu.solvers.pgo import chordal_initialization
 
+    import jax.numpy as jnp
+
+    from dpgo_tpu.measurements import EdgeArrays
+    from dpgo_tpu.solvers import chordal as chordal_mod
+
     meas, n = read_g2o_file("/root/reference/data/city10000.g2o")
     d, r, agents = 2, 3, 5
     # the reference's multi-robot example stops at global gradnorm < 0.1
     # (MultiRobotExample.cpp:229); 1e-2 is the per-agent local tol
     tol = 0.1
-    T = chordal_initialization(meas)
+    import jax as _jax
+    _mixed = _jax.devices()[0].platform != "cpu"
+    T = np.asarray(
+        chordal_mod.chordal_initialization_arrays(
+            EdgeArrays.from_measurements(meas), n=n,
+            cg_dtype=jnp.float32 if _mixed else None,
+            tol=1e-6 if _mixed else 1e-10, maxiter=1000,
+        )
+    )
     problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=agents, r=r)
     Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
     X0 = np.einsum("rd,nde->nre", Y_lift, T)
