@@ -139,6 +139,11 @@ class PGOAgent:
         self.local_opt_result = ROPTResult()
 
         self._lock = threading.RLock()
+        # Thread-lifecycle lock: guards _opt_thread start/join/observe. A
+        # separate non-reentrant lock (NOT self._lock) because the loop thread
+        # holds self._lock inside iterate() — joining under self._lock would
+        # deadlock.
+        self._thread_lock = threading.Lock()
         self._opt_thread: Optional[threading.Thread] = None
         self._end_loop_requested = False
         self._rng = np.random.default_rng()
@@ -943,13 +948,19 @@ class PGOAgent:
         assert not self.params.acceleration, (
             "Asynchronous mode does not support acceleration!"
         )
-        if self.is_optimization_running():
-            return
-        self._end_loop_requested = False
-        self._opt_thread = threading.Thread(
-            target=self._run_optimization_loop, daemon=True
-        )
-        self._opt_thread.start()
+        with self._thread_lock:
+            if self._opt_thread is not None:
+                if self._opt_thread.is_alive():
+                    return
+                self._opt_thread.join()  # reap a finished/dead thread
+            self._end_loop_requested = False
+            thread = threading.Thread(
+                target=self._run_optimization_loop, daemon=True
+            )
+            # assign + start under the lock: no observer can ever see an
+            # assigned-but-unstarted thread (joining one raises RuntimeError)
+            self._opt_thread = thread
+            thread.start()
 
     def _run_optimization_loop(self) -> None:
         rate = self.params.asynchronous_rate
@@ -960,12 +971,15 @@ class PGOAgent:
                 break
 
     def end_optimization_loop(self) -> None:
-        if not self.is_optimization_running():
-            return
-        self._end_loop_requested = True
-        self._opt_thread.join()
-        self._opt_thread = None
-        self._end_loop_requested = False
+        with self._thread_lock:
+            thread = self._opt_thread
+            if thread is None:
+                return
+            self._end_loop_requested = True
+            thread.join()
+            self._opt_thread = None
+            self._end_loop_requested = False
 
     def is_optimization_running(self) -> bool:
-        return self._opt_thread is not None
+        with self._thread_lock:
+            return self._opt_thread is not None and self._opt_thread.is_alive()

@@ -150,6 +150,52 @@ def test_optimization_thread():
     assert np.linalg.norm(T_true - T) < 1e-3
 
 
+def test_optimization_thread_lifecycle_race():
+    """Stress the thread lifecycle: concurrent start/end/initialize from
+    several threads must never raise (round-1 observed race: join of an
+    assigned-but-unstarted thread via initialize_in_global_frame on the comm
+    thread; reference join semantics: PGOAgent.cpp:475-513)."""
+    import threading
+
+    odometry, private_lcs, _ = _triangle_measurements()
+    agent = PGOAgent(0, PGOAgentParameters(3, 3, 1, asynchronous=True,
+                                           asynchronous_rate=100.0))
+    agent.set_measurements(odometry, private_lcs, [])
+    agent.initialize()
+
+    errors = []
+    stop = threading.Event()
+
+    def cycler():
+        try:
+            while not stop.is_set():
+                agent.start_optimization_loop()
+                agent.end_optimization_loop()
+        except Exception as e:  # pragma: no cover - the assertion target
+            errors.append(e)
+
+    def reinitializer():
+        # initialize-from-neighbor path: halts + restarts the loop
+        T = np.hstack([np.eye(3), np.zeros((3, 1))])
+        try:
+            while not stop.is_set():
+                agent.initialize_in_global_frame(T)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=cycler) for _ in range(2)] + [
+        threading.Thread(target=reinitializer)
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(1.5)
+    stop.set()
+    for t in threads:
+        t.join()
+    agent.end_optimization_loop()
+    assert not errors, f"lifecycle race raised: {errors[:3]}"
+
+
 def test_reset():
     odometry, private_lcs, _ = _triangle_measurements()
     agent = PGOAgent(0, PGOAgentParameters(3, 3, 1))
