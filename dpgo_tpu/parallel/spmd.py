@@ -119,6 +119,8 @@ class SPMDState(NamedTuple):
     V: jax.Array
     gamma: jax.Array  # scalar
     it: jax.Array  # int32 round counter
+    cost_X: jax.Array  # global objective at the current X (inf until evaluated)
+    do_restart: jax.Array  # bool: adaptive-restart request for the next round
 
 
 class RoundMetrics(NamedTuple):
@@ -132,6 +134,17 @@ class SPMDConfig:
     mode: str = "all"  # 'all' | 'greedy' | 'uniform'
     acceleration: bool = True
     restart_interval: int = 30
+    # Adaptive (function-scheme) restart on top of the periodic schedule:
+    # restart whenever the global objective at X increased over the last round
+    # (O'Donoghue & Candes adaptive-restart rule). Costs one extra public-pose
+    # all_gather + edge-cost evaluation per round; off by default for exact
+    # reference parity (the reference restarts only periodically,
+    # PGOAgent.cpp:880-885).
+    adaptive_restart: bool = False
+    # Team size N in the Nesterov gamma/alpha recursions. The reference always
+    # uses the robot count (PGOAgent.cpp:910-920) — the right schedule when
+    # one block updates per round. None = num_agents.
+    nesterov_n: Optional[int] = None
     gradnorm_tol: float = 1e-2
     # local RTR budget per round (reference: DPGO_types.h:59-61 defaults)
     rtr_iterations: int = 1
@@ -142,6 +155,10 @@ class SPMDConfig:
     # trust-region control in the state dtype — see solvers/rtr.py. None
     # keeps a single precision level.
     rtr_inner_dtype: Optional[str] = None
+    # preconditioner for the local solves: 'jacobi' (block-diagonal) or
+    # 'tridiag' (cyclic-reduction factorization of the odometry band +
+    # diagonal — Cholmod-class quality, see ops/block_tridiag.py)
+    precond: str = "jacobi"
     seed: int = 0
 
 
@@ -309,6 +326,8 @@ def initial_state(
         X=Xj, Y=Xj, V=Xj,
         gamma=jnp.asarray(0.0, Xj.dtype),
         it=jnp.asarray(0, jnp.int32),
+        cost_X=jnp.asarray(jnp.inf, Xj.dtype),
+        do_restart=jnp.asarray(False),
     )
 
 
@@ -363,18 +382,39 @@ def _edge_cost_terms(X, nbr, lp: quadratic.LocalProblem, outgoing_only: jax.Arra
     return c_priv + c_shared
 
 
+def _build_qd_static(problem: SPMDProblem, cfg: SPMDConfig):
+    """Stacked per-agent round-invariant data: Q blocks + preconditioner
+    factors (vmapped build_q_data). Computed once per run — only the linear
+    term G depends on the per-round neighbor poses (the same caching the
+    reference does with std::optional data matrices, PoseGraph.h:325-331)."""
+    pr = problem
+    a_priv = (pr.priv_i, pr.priv_j, pr.priv_T, pr.priv_kappa, pr.priv_tau,
+              pr.priv_weight)
+    a_shared = (pr.shared_idx, pr.shared_T, pr.shared_kappa, pr.shared_tau,
+                pr.shared_weight, pr.shared_outgoing)
+
+    def one(priv, shared):
+        lp = _agent_local_problem(pr, priv, shared)
+        return quadratic.build_q_data(lp, r=pr.r, precond=cfg.precond)
+
+    return jax.vmap(one)(a_priv, a_shared)
+
+
 def _agent_round(
     problem: SPMDProblem,
     cfg: SPMDConfig,
+    qd_static,  # round-invariant QuadraticData for this agent (G unused)
     X0: jax.Array,  # (n_max, r, dh) starting point for the local solve
     a_priv, a_shared,
     nbr_poses: jax.Array,  # (ms, r, dh)
     do_opt: jax.Array,  # scalar bool: does this agent optimize this round?
 ):
-    """One agent's local round: build Q/G, masked RTR solve.
-    Returns (X_new, local riegradnorm at X0, cost contribution at X0)."""
+    """One agent's local round: rebuild G from the exchanged neighbor poses,
+    masked RTR solve. Returns (X_new, local riegradnorm at X0, cost
+    contribution at X0)."""
     lp = _agent_local_problem(problem, a_priv, a_shared)
-    qd = quadratic.build_quadratic_data(lp, nbr_poses, r=problem.r)
+    G = quadratic.build_linear_term(lp, nbr_poses, r=problem.r)
+    qd = dataclasses.replace(qd_static, G=G)
 
     gnorm = quadratic.rie_grad_norm(qd, X0)
 
@@ -410,13 +450,18 @@ def _psum(x, axis_name):
 
 
 def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
-                agent_offset, state_blk: SPMDState, sel: jax.Array):
+                agent_offset, state_blk: SPMDState, sel: jax.Array,
+                qd_static=None):
     """One synchronous round for this device's block of agents.
 
     sel: int32 — selected agent id for 'greedy'/'uniform' modes, or -1 for
-    'all'. agent_offset: global id of this device's first agent.
+    'all'. agent_offset: global id of this device's first agent. qd_static:
+    prebuilt round-invariant per-agent data (see _build_qd_static); built
+    here when not supplied.
     """
     pr = problem_blk
+    if qd_static is None:
+        qd_static = _build_qd_static(problem_blk, cfg)
     A = pr.priv_i.shape[0]  # agents on this device
     N = pr.num_agents
     dtype = state_blk.X.dtype
@@ -442,38 +487,75 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
     else:
         project = lifted.project_lifted
 
+    def team_cost(X_blk, nbr_blk):
+        """Global objective at a team iterate (psum of per-agent edge costs)."""
+        lp_cost = jax.vmap(
+            lambda Xa, priv, shared, nbr: _edge_cost_terms(
+                Xa, nbr,
+                _agent_local_problem(pr, priv, shared),
+                shared[5].astype(Xa.dtype),
+            )
+        )(X_blk, a_priv, a_shared, nbr_blk)
+        return _psum(jnp.sum(lp_cost), axis_name)
+
     if cfg.acceleration:
+        # Restart = the reference's restartNesterovAcceleration
+        # (PGOAgent.cpp:887-897): revert to the round-start X, re-solve
+        # WITHOUT acceleration against the *plain* neighbor poses, then reset
+        # gamma/Y/V. Since the accelerated result of a restart round is fully
+        # discarded there, we skip it and run the plain solve directly — the
+        # post-round state is identical and one local solve is saved.
+        periodic = (state_blk.it + 1) % cfg.restart_interval == 0
+        if cfg.adaptive_restart:
+            restart = jnp.logical_or(periodic, state_blk.do_restart)
+        else:
+            restart = periodic
         # gamma/alpha recursions are global scalars (PGOAgent.cpp:910-920)
-        gamma = (1.0 + jnp.sqrt(1.0 + 4.0 * N**2 * state_blk.gamma**2)) / (2.0 * N)
-        alpha = 1.0 / (gamma * N)
-        Y = project((1.0 - alpha) * state_blk.X + alpha * state_blk.V)
-        # aux public poses come from Y (PGOAgent.cpp:132-166)
+        Nn = N if cfg.nesterov_n is None else cfg.nesterov_n
+        gamma = (1.0 + jnp.sqrt(1.0 + 4.0 * Nn**2 * state_blk.gamma**2)) / (2.0 * Nn)
+        alpha = 1.0 / (gamma * Nn)
+        Y_acc = project((1.0 - alpha) * state_blk.X + alpha * state_blk.V)
+        Y = jnp.where(restart, state_blk.X, Y_acc)
+        # aux public poses come from Y (PGOAgent.cpp:132-166); on restart
+        # rounds Y == X, so the gather delivers the plain neighbor poses.
         all_pub_aux = _gather_pub(Y, pr.pub_idx, axis_name)
         nbr_aux = resolve_nbr(all_pub_aux)
         X_upd, gnorm_a, cost_a = jax.vmap(
             partial(_agent_round, problem_blk, cfg)
-        )(Y, a_priv, a_shared, nbr_aux, do_opt)
+        )(qd_static, Y, a_priv, a_shared, nbr_aux, do_opt)
         # non-optimizing agents take X <- Y (PGOAgent.cpp:943-947)
-        V = project(state_blk.V + gamma * (X_upd - Y))
-        # periodic restart (PGOAgent.cpp:880-897), simplified: reset aux vars
-        restart = (state_blk.it + 1) % cfg.restart_interval == 0
+        V = jnp.where(
+            restart, X_upd, project(state_blk.V + gamma * (X_upd - Y))
+        )
         gamma = jnp.where(restart, 0.0, gamma)
         Y_out = jnp.where(restart, X_upd, Y)
-        V = jnp.where(restart, X_upd, V)
+        if cfg.adaptive_restart:
+            # function-scheme adaptive restart: request a restart next round
+            # whenever the objective at the new X increased over the last one
+            nbr_new = resolve_nbr(_gather_pub(X_upd, pr.pub_idx, axis_name))
+            cost_new = team_cost(X_upd, nbr_new)
+            do_restart_next = cost_new > state_blk.cost_X
+            cost_X_next = cost_new
+        else:
+            do_restart_next = jnp.asarray(False)
+            cost_X_next = state_blk.cost_X
         new_state = SPMDState(
             X=X_upd, Y=Y_out, V=V,
             gamma=jnp.asarray(gamma, dtype),
             it=state_blk.it + 1,
+            cost_X=cost_X_next,
+            do_restart=do_restart_next,
         )
     else:
         all_pub = _gather_pub(state_blk.X, pr.pub_idx, axis_name)
         nbr = resolve_nbr(all_pub)
         X_upd, gnorm_a, cost_a = jax.vmap(
             partial(_agent_round, problem_blk, cfg)
-        )(state_blk.X, a_priv, a_shared, nbr, do_opt)
+        )(qd_static, state_blk.X, a_priv, a_shared, nbr, do_opt)
         new_state = SPMDState(
             X=X_upd, Y=X_upd, V=X_upd,
             gamma=state_blk.gamma, it=state_blk.it + 1,
+            cost_X=state_blk.cost_X, do_restart=jnp.asarray(False),
         )
 
     rel = jax.vmap(lifted.max_translation_distance)(new_state.X, state_blk.X)
@@ -542,7 +624,8 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
         return new_state, metrics, nxt
 
     state_specs = SPMDState(
-        X=blk_spec, Y=blk_spec, V=blk_spec, gamma=rep, it=rep
+        X=blk_spec, Y=blk_spec, V=blk_spec, gamma=rep, it=rep,
+        cost_X=rep, do_restart=rep,
     )
     problem_specs = SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
@@ -654,7 +737,9 @@ def run_rbcd_gnc(
     mu = init_mu
     history = []
     for _ in range(num_weight_updates):
-        state, metrics, rounds = run(state, inner_rounds, 0.0)
+        # pass the CURRENT problem: weights updated by gnc_reweight must be
+        # seen by the inner optimization (same shapes -> no recompile)
+        state, metrics, rounds = run(state, inner_rounds, 0.0, problem=problem)
         if mu is None:
             r_sq_p, r_sq_s = _gnc_residuals_sq(problem, state)
             r_max = float(jnp.maximum(jnp.max(r_sq_p), jnp.max(r_sq_s)))
@@ -673,14 +758,22 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
     program with a lax.while_loop over rounds. Zero host round trips: on TPU
     this removes per-round dispatch + device-to-host metric transfers.
 
-    Returns run(state, max_rounds, tol) -> (state, last_metrics, rounds).
-    The termination check uses the round-start global gradient norm (the same
-    quantity the in-process simulation checks).
+    The round-invariant data matrices (Q blocks + preconditioner factors) are
+    assembled ONCE before the loop; each round rebuilds only the linear term
+    G from the exchanged neighbor poses — mirroring the reference's
+    std::optional caching (PoseGraph.h:325-331).
+
+    Returns run(state, max_rounds, tol, problem=<build-time problem>)
+    -> (state, last_metrics, rounds). The problem is a runtime argument (same
+    shapes -> no recompile), so weight updates (GNC) take effect — pass the
+    reweighted problem on each call. The termination check uses the
+    round-start global gradient norm (the same quantity the in-process
+    simulation checks).
     """
     N = problem.num_agents
     key = jax.random.PRNGKey(cfg.seed)
 
-    def make_loop(axis_name, agent_offset, pr_blk):
+    def make_loop(axis_name, agent_offset, pr_blk, qd_static):
         def cond(carry):
             state, metrics, sel, rounds, max_rounds, tol = carry
             return jnp.logical_and(rounds < max_rounds, metrics.gradnorm >= tol)
@@ -688,7 +781,7 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
         def body(carry):
             state, _metrics, sel, rounds, max_rounds, tol = carry
             new_state, metrics, gnorm_a = _round_body(
-                pr_blk, cfg, axis_name, agent_offset, state, sel
+                pr_blk, cfg, axis_name, agent_offset, state, sel, qd_static
             )
             if axis_name is None:
                 gnorm_all = gnorm_a
@@ -712,12 +805,16 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
 
     if mesh is None:
         @jax.jit
-        def run(state, max_rounds, tol):
-            cond, body = make_loop(None, jnp.asarray(0, jnp.int32), problem)
+        def _run(pr, state, max_rounds, tol):
+            qd_static = _build_qd_static(pr, cfg)
+            cond, body = make_loop(None, jnp.asarray(0, jnp.int32), pr, qd_static)
             state, metrics, _sel, rounds, *_ = jax.lax.while_loop(
                 cond, body, init_carry(state, max_rounds, tol)
             )
             return state, metrics, rounds
+
+        def run(state, max_rounds, tol, problem=problem):
+            return _run(problem, state, max_rounds, tol)
 
         return run
 
@@ -730,13 +827,15 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
     def sharded_run(pr_blk, state_blk, max_rounds, tol):
         dev = jax.lax.axis_index("agents")
         offset = (dev * A).astype(jnp.int32)
-        cond, body = make_loop("agents", offset, pr_blk)
+        qd_static = _build_qd_static(pr_blk, cfg)
+        cond, body = make_loop("agents", offset, pr_blk, qd_static)
         state, metrics, _sel, rounds, *_ = jax.lax.while_loop(
             cond, body, init_carry(state_blk, max_rounds, tol)
         )
         return state, metrics, rounds
 
-    state_specs = SPMDState(X=blk_spec, Y=blk_spec, V=blk_spec, gamma=rep, it=rep)
+    state_specs = SPMDState(X=blk_spec, Y=blk_spec, V=blk_spec, gamma=rep, it=rep,
+                            cost_X=rep, do_restart=rep)
     problem_specs = SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
         num_band=problem.num_band,
@@ -750,11 +849,14 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
         check_vma=False,
     )
     sharding = NamedSharding(mesh, blk_spec)
-    problem_dev = jax.tree.map(lambda x: jax.device_put(x, sharding), problem)
 
     @jax.jit
-    def run(state, max_rounds, tol):
-        return fn(problem_dev, state, max_rounds, tol)
+    def _run(pr, state, max_rounds, tol):
+        return fn(pr, state, max_rounds, tol)
+
+    def run(state, max_rounds, tol, problem=problem):
+        pr_dev = jax.tree.map(lambda x: jax.device_put(x, sharding), problem)
+        return _run(pr_dev, state, max_rounds, tol)
 
     return run
 
@@ -802,18 +904,26 @@ def save_state(state: SPMDState, path: str) -> None:
         V=np.asarray(state.V),
         gamma=np.asarray(state.gamma),
         it=np.asarray(state.it),
+        cost_X=np.asarray(state.cost_X),
+        do_restart=np.asarray(state.do_restart),
     )
 
 
 def load_state(path: str) -> SPMDState:
     """Resume an SPMD optimizer state saved by save_state."""
     z = np.load(path)
+    dtype = z["X"].dtype
     return SPMDState(
         X=jnp.asarray(z["X"]),
         Y=jnp.asarray(z["Y"]),
         V=jnp.asarray(z["V"]),
         gamma=jnp.asarray(z["gamma"]),
         it=jnp.asarray(z["it"]),
+        # fields absent in pre-round-2 checkpoints
+        cost_X=jnp.asarray(z["cost_X"]) if "cost_X" in z
+        else jnp.asarray(np.inf, dtype),
+        do_restart=jnp.asarray(z["do_restart"]) if "do_restart" in z
+        else jnp.asarray(False),
     )
 
 

@@ -127,7 +127,7 @@ class CSRPlans:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["diag", "off_i", "off_j", "off_E", "G", "precond_inv",
-                 "band_E", "csr"],
+                 "band_E", "csr", "btf"],
     meta_fields=["n", "d"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +145,11 @@ class QuadraticData:
                   materialized once per build so the per-tCG-iteration
                   preconditioner application is a single batched matmul on
                   the MXU instead of triangular solves.
+    btf         : optional cyclic-reduction factorization of the
+                  block-tridiagonal part of (Q + 0.1 I) — odometry-band
+                  coupling + all diagonal blocks (ops/block_tridiag.py).
+                  Much closer to the reference's full Cholmod LDL^T than
+                  block-Jacobi; when present, apply_precond uses it.
     """
 
     n: int
@@ -159,6 +164,7 @@ class QuadraticData:
     # None when the problem carries no band ordering
     band_E: Optional[jax.Array] = None
     csr: Optional[CSRPlans] = None
+    btf: Optional[object] = None
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +188,7 @@ def build_quadratic_data(
     nbr_poses: jax.Array,
     r: int,
     precond_shift: float = PRECONDITIONER_SHIFT,
+    precond: str = "jacobi",
 ) -> QuadraticData:
     """Assemble Q blocks, linear term G, and preconditioner factors.
 
@@ -189,7 +196,28 @@ def build_quadratic_data(
     `shared_nbr_slot` (entries for masked edges may hold garbage — they are
     multiplied by shared_mask). Matches constructQ/constructG semantics
     (reference: PoseGraph.cpp:381-580).
+
+    Composition of build_q_data (everything that depends only on the
+    measurements/weights) + build_linear_term (the neighbor-pose-dependent G).
+    Iterative drivers should call the two pieces separately: Q and the
+    preconditioner factors are loop-invariant across RBCD rounds (the
+    reference caches them the same way via std::optional + clearDataMatrices,
+    PoseGraph.h:325-331), only G needs a per-round rebuild.
     """
+    qd = build_q_data(problem, r, precond_shift=precond_shift, precond=precond)
+    G = build_linear_term(problem, nbr_poses, r)
+    return dataclasses.replace(qd, G=G)
+
+
+def build_q_data(
+    problem: LocalProblem,
+    r: int,
+    precond_shift: float = PRECONDITIONER_SHIFT,
+    precond: str = "jacobi",
+) -> QuadraticData:
+    """Assemble the neighbor-pose-INDEPENDENT data: Q blocks + preconditioner
+    (reference: constructQ + constructPreconditioner, PoseGraph.cpp:381-491,
+    598-613). The returned QuadraticData carries G = 0."""
     n, d, dh = problem.n, problem.d, problem.d + 1
     dtype = problem.priv_T.dtype
 
@@ -232,30 +260,66 @@ def build_quadratic_data(
         ) * problem.prior_mask[:, None]
         diag = diag.at[problem.prior_idx].add(_diag_embed(om_prior))
 
-    # --- linear term G ---
+    G = jnp.zeros((n, r, dh), dtype)
+
+    # --- preconditioner of (Q + shift I) ---
+    # 'jacobi': block-diagonal inverse (one batched matmul per application).
+    # 'tridiag': cyclic-reduction factorization of the band-tridiagonal part
+    # (odometry coupling + all diagonal blocks) — SPD by construction since
+    # it is a sum of per-edge PSD terms plus the shift; far closer to the
+    # reference's full Cholmod LDL^T (PoseGraph.cpp:598-613) in quality.
+    shifted = diag + precond_shift * jnp.eye(dh, dtype=dtype)
+    btf = None
+    if precond == "tridiag" and band_E is not None:
+        from dpgo_tpu.ops import block_tridiag as _bt
+
+        btf = _bt.factorize(shifted, band_E)
+        precond_inv = jnp.zeros((0, dh, dh), dtype)
+    else:
+        L = jnp.linalg.cholesky(shifted)
+        eye = jnp.broadcast_to(jnp.eye(dh, dtype=dtype), shifted.shape)
+        precond_inv = jax.scipy.linalg.cho_solve((L, True), eye)
+
+    return QuadraticData(
+        n=n, d=d, diag=diag,
+        off_i=off_i, off_j=off_j, off_E=off_E,
+        G=G, precond_inv=precond_inv, band_E=band_E, csr=None, btf=btf,
+    )
+
+
+def build_linear_term(
+    problem: LocalProblem, nbr_poses: jax.Array, r: int
+) -> jax.Array:
+    """The neighbor-pose-dependent linear term G (reference: constructG,
+    PoseGraph.cpp:493-580). Rebuilt every RBCD round from the freshly
+    exchanged neighbor public poses; everything else in QuadraticData is
+    round-invariant."""
+    n, d, dh = problem.n, problem.d, problem.d + 1
+    dtype = problem.priv_T.dtype
     G = jnp.zeros((n, r, dh), dtype)
     if problem.num_shared > 0:
+        om_s = _omega(
+            problem.shared_kappa, problem.shared_tau, problem.shared_weight, d
+        ) * problem.shared_mask[:, None]
+        Es = problem.shared_T * om_s[:, None, :]
         Xnbr = nbr_poses[problem.shared_nbr_slot]  # (ms, r, dh)
         # outgoing edge (tail local):  G_i += -X_j Omega T^T = -X_j E^T
         # incoming edge (head local):  G_j += -X_i T Omega   = -X_i E
         contrib_out = -jnp.einsum("mrb,mab->mra", Xnbr, Es)
         contrib_in = -jnp.einsum("mrb,mba->mra", Xnbr, Es)
-        contrib = jnp.where(problem.shared_outgoing[:, None, None], contrib_out, contrib_in)
+        contrib = jnp.where(
+            problem.shared_outgoing[:, None, None], contrib_out, contrib_in
+        )
         G = G.at[problem.shared_idx].add(contrib)
+    npr = problem.prior_idx.shape[0]
     if npr > 0:
+        om_prior = jnp.concatenate(
+            [jnp.full((npr, d), PRIOR_KAPPA, dtype),
+             jnp.full((npr, 1), PRIOR_TAU, dtype)],
+            axis=1,
+        ) * problem.prior_mask[:, None]
         G = G.at[problem.prior_idx].add(-problem.prior_pose * om_prior[:, None, :])
-
-    # --- block-Jacobi preconditioner of (Q + shift I) ---
-    shifted = diag + precond_shift * jnp.eye(dh, dtype=dtype)
-    L = jnp.linalg.cholesky(shifted)
-    eye = jnp.broadcast_to(jnp.eye(dh, dtype=dtype), shifted.shape)
-    precond_inv = jax.scipy.linalg.cho_solve((L, True), eye)
-
-    return QuadraticData(
-        n=n, d=d, diag=diag,
-        off_i=off_i, off_j=off_j, off_E=off_E,
-        G=G, precond_inv=precond_inv, band_E=band_E, csr=None,
-    )
+    return G
 
 
 # ---------------------------------------------------------------------------
@@ -384,10 +448,17 @@ def hess_correction(X: jax.Array, eg: jax.Array) -> jax.Array:
 
 
 def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array) -> jax.Array:
-    """Preconditioner: apply (Q_bj + 0.1 I)^-1 blockwise, then project to the
-    tangent space at X (reference: QuadraticProblem.cpp:56-69). The inverse is
-    symmetric, so the row-vector solve is V @ P^-1 — one batched matmul."""
-    out = jnp.einsum("nrb,nbc->nrc", V, qd.precond_inv)
+    """Preconditioner solve + tangent projection at X (reference:
+    QuadraticProblem.cpp:56-69). With a block-tridiagonal factorization
+    attached, the row-vector system out P = V becomes P out^T = V^T per pose
+    block (P symmetric); otherwise block-Jacobi: one batched matmul against
+    the materialized symmetric inverse."""
+    if qd.btf is not None:
+        from dpgo_tpu.ops import block_tridiag as _bt
+
+        out = jnp.swapaxes(_bt.solve(qd.btf, jnp.swapaxes(V, -1, -2)), -1, -2)
+    else:
+        out = jnp.einsum("nrb,nbc->nrc", V, qd.precond_inv)
     return lifted.proj_tangent(X, out)
 
 
