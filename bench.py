@@ -27,7 +27,12 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Persistent XLA compilation cache: repeat bench runs (and bench --all's
+# many problem shapes) skip recompilation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 DATA = "/root/reference/data/sphere2500.g2o"
 BASELINE_FILE = os.path.join(
@@ -105,7 +110,11 @@ def run_centralized(meas, n, verbose=False):
 
 
 def run_distributed(meas, n):
-    """Secondary: 8-agent accelerated RBCD (SPMD, fused loop), time to tol."""
+    """Secondary: 8-agent accelerated RBCD (SPMD, fused loop), time to tol.
+
+    On TPU: mixed-precision rounds (f32 tCG inner) until the global gradient
+    norm nears the f32 noise floor, then f64 rounds to the final tolerance —
+    the f32 path alone plateaus around gradnorm ~2e-2 on sphere2500."""
     import jax
 
     from dpgo_tpu.ops import lifted
@@ -119,22 +128,34 @@ def run_distributed(meas, n):
     X0 = np.einsum("rd,nde->nre", Y_lift, T)
     state0 = spmd.initial_state(problem, X0, ranges)
     mixed = jax.devices()[0].platform != "cpu"
-    cfg = spmd.SPMDConfig(
-        mode="all", acceleration=True, rtr_iterations=1,
-        rtr_gradnorm_tol=TOL / (2 * np.sqrt(NUM_AGENTS)),
-        rtr_inner_dtype="float32" if mixed else None,
-    )
-    run_fn = spmd.make_run_fn(problem, cfg, mesh=None)
-    s_warm, _, _ = run_fn(state0, 1, TOL)
-    np.asarray(s_warm.X)
+
+    def cfg(inner):
+        return spmd.SPMDConfig(
+            mode="all", acceleration=True, rtr_iterations=1,
+            rtr_gradnorm_tol=TOL / (2 * np.sqrt(NUM_AGENTS)),
+            rtr_inner_dtype=inner, adaptive_restart=True, precond="tridiag",
+        )
+
+    run_f32 = spmd.make_run_fn(problem, cfg("float32"), mesh=None) if mixed else None
+    run_f64 = spmd.make_run_fn(problem, cfg(None), mesh=None)
+    # warm up (compile) both phases
+    if run_f32 is not None:
+        s_w, _, _ = run_f32(state0, 1, TOL)
+        np.asarray(s_w.X)
+    s_w, _, _ = run_f64(state0, 1, TOL)
+    np.asarray(s_w.X)
+
     # Chunk the fused loop: single XLA executions that run for minutes get
     # killed by the tunnel's watchdog, so bound each launch to 50 rounds.
+    switch_tol = 4 * TOL  # hand mixed-precision off to f64 near its floor
     t0 = time.perf_counter()
     state = state0
     total_rounds = 0
     gradnorm = float("inf")
     while total_rounds < 900 and gradnorm >= TOL:
-        state, metrics, rounds = run_fn(state, 50, TOL)
+        fn = run_f32 if (run_f32 is not None and gradnorm >= switch_tol) else run_f64
+        tol = switch_tol if fn is run_f32 else TOL
+        state, metrics, rounds = fn(state, 50, tol)
         total_rounds += int(rounds)
         gradnorm = float(metrics.gradnorm)
     np.asarray(state.X)

@@ -647,6 +647,44 @@ class PGOAgent:
         T_world2_world1 = mul(T_world2_frame1, inv(T_world1_frame1))
         return T_world2_world1[:, : self.d], T_world2_world1[:, self.d]
 
+    def compute_robust_neighbor_transform(
+        self, neighbor_id: int, pose_dict: PoseDict
+    ) -> Optional[np.ndarray]:
+        """One-stage robust inter-robot alignment: GNC-TLS single-POSE
+        averaging over the candidate alignments, with the reference's
+        hard-coded candidate precisions (rotation stddev ~30 deg -> kappa
+        1.82, translation stddev 10 m -> tau 0.01) and a chi-squared 90%
+        threshold (reference: PGOAgent.cpp:604-648; unused in the reference's
+        default flow, which calls the two-stage variant). Returns
+        T_world_robot (d, d+1) or None."""
+        from dpgo_tpu.robust import error_threshold_at_quantile
+
+        R_vec, t_vec = [], []
+        for m in self.pose_graph.shared_loop_closures_with(neighbor_id):
+            fid = m.p1 if m.r1 == neighbor_id else m.p2
+            pid = PoseID(neighbor_id, fid)
+            if pid in pose_dict:
+                R, t = self.compute_neighbor_transform(m, pose_dict[pid])
+                R_vec.append(R)
+                t_vec.append(t)
+        if not R_vec:
+            return None
+        n = len(R_vec)
+        cbar = error_threshold_at_quantile(0.9, 3)
+        R_opt, t_opt, inliers = averaging.robust_single_pose_averaging(
+            R_vec, t_vec,
+            kappa=1.82 * np.ones(n), tau=0.01 * np.ones(n),
+            error_threshold=cbar,
+        )
+        if self.params.verbose:
+            print(
+                f"Robot {self.id} attempts initialization from neighbor "
+                f"{neighbor_id}: finds {len(inliers)}/{n} inliers."
+            )
+        if len(inliers) < self.params.robust_init_min_inliers:
+            return None
+        return np.hstack([R_opt, t_opt[:, None]])
+
     def compute_robust_neighbor_transform_two_stage(
         self, neighbor_id: int, pose_dict: PoseDict
     ) -> Optional[np.ndarray]:

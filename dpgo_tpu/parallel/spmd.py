@@ -57,18 +57,20 @@ from dpgo_tpu.solvers import rtr as rtr_mod
 
 _DATA_FIELDS = [
     "priv_i", "priv_j", "priv_T", "priv_kappa", "priv_tau", "priv_weight",
-    "priv_fixed_weight",
+    "priv_fixed_weight", "priv_lane",
     "shared_idx", "shared_T", "shared_kappa", "shared_tau", "shared_weight",
     "shared_outgoing", "shared_nbr_robot", "shared_nbr_slot",
     "shared_fixed_weight",
     "pub_idx", "pub_mask", "pose_mask",
 ]
 
+_META_FIELDS = ["num_agents", "n_max", "d", "r", "num_band", "band_offsets"]
+
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=_DATA_FIELDS,
-    meta_fields=["num_agents", "n_max", "d", "r", "num_band"],
+    meta_fields=_META_FIELDS,
 )
 @dataclasses.dataclass(frozen=True)
 class SPMDProblem:
@@ -85,6 +87,7 @@ class SPMDProblem:
     d: int
     r: int
     num_band: int
+    band_offsets: tuple
     # private edges (N, mp) / (N, mp, dh, dh)
     priv_i: jax.Array
     priv_j: jax.Array
@@ -93,6 +96,7 @@ class SPMDProblem:
     priv_tau: jax.Array
     priv_weight: jax.Array
     priv_fixed_weight: jax.Array  # bool (GNC: odometry weights stay fixed)
+    priv_lane: jax.Array  # (N, mp) int32 band-lane id for the banded prefix
     # shared edges (N, ms) / (N, ms, dh, dh)
     shared_idx: jax.Array
     shared_T: jax.Array
@@ -182,14 +186,27 @@ def build_spmd_problem(
     )
 
     n_max = max(end - start for start, end in ranges)
-    # Private-edge layout per agent: the first n_max-1 slots are the odometry
-    # band (slot k = edge k -> k+1, zero-padded where absent), then loop
-    # closures. Contiguous partitions give every agent a full chain, so the
-    # band is uniform across agents and num_band = n_max - 1 is a static
-    # constant — q_matvec lowers the band to shifted dense matmuls.
-    num_band = max(n_max - 1, 0)
-    lc_lists = [private_lcs[a] for a in range(num_agents)]
-    mp_max = num_band + max(1, max((len(p) for p in lc_lists), default=1))
+    # Private-edge layout per agent: banded edges first (each assigned a
+    # lane — offset delta = p2 - p1 drawn from a small team-wide offset set,
+    # odometry being offset 1), then the remaining loop closures. Banded
+    # edges' matvec contributions lower to shifted dense batched matmuls in
+    # q_matvec (zero gather/scatter). The offset set is static metadata under
+    # vmap, so it must be uniform across agents: chosen from the pooled
+    # offset histogram.
+    priv_lists = [odometry[a] + private_lcs[a] for a in range(num_agents)]
+    all_i = np.array([m.p1 for pl in priv_lists for m in pl], np.int64)
+    all_j = np.array([m.p2 for pl in priv_lists for m in pl], np.int64)
+    band_offsets = quadratic.choose_band_offsets(all_i, all_j, n_max)
+    lane_of = {delta: k for k, delta in enumerate(band_offsets)}
+
+    def split_banded(pl):
+        banded = [m for m in pl if (m.p2 - m.p1) in lane_of]
+        rest = [m for m in pl if (m.p2 - m.p1) not in lane_of]
+        return banded, rest
+
+    split = [split_banded(pl) for pl in priv_lists]
+    num_band = max((len(b) for b, _ in split), default=0)
+    mp_max = num_band + max(1, max((len(rst) for _, rst in split), default=1))
     ms_max = max(1, max(len(s) for s in shared_lcs))
 
     # public-pose slots: for each agent, sorted local frame ids that appear in
@@ -222,6 +239,7 @@ def build_spmd_problem(
     P_t = np.zeros((num_agents, mp_max))
     P_w = np.zeros((num_agents, mp_max))
     P_fx = np.zeros((num_agents, mp_max), bool)
+    P_ln = np.zeros((num_agents, mp_max), np.int32)
     S_idx = np.zeros((num_agents, ms_max), np.int32)
     S_T = np.zeros((num_agents, ms_max, dh, dh))
     S_k = np.zeros((num_agents, ms_max))
@@ -238,10 +256,13 @@ def build_spmd_problem(
     for a in range(num_agents):
         n_a = ranges[a][1] - ranges[a][0]
         POSM[a, :n_a] = 1.0
-        # band slots (odometry): slot = source frame id
-        for m in odometry[a]:
-            k = m.p1
-            assert m.p2 == m.p1 + 1 and k < num_band
+        # banded edges first (zero-weight padding up to num_band is inert:
+        # its E blocks are 0), then the leftover loop closures
+        banded_a, rest_a = split[a]
+        for k, m in enumerate(banded_a + [None] * (num_band - len(banded_a))
+                              + rest_a):
+            if m is None:
+                continue
             P_i[a, k] = m.p1
             P_j[a, k] = m.p2
             P_T[a, k] = homogeneous(m.R, m.t)
@@ -249,21 +270,8 @@ def build_spmd_problem(
             P_t[a, k] = m.tau
             P_w[a, k] = m.weight
             P_fx[a, k] = m.fixed_weight
-        # empty band slots must still be valid (i, i+1) pairs with zero data
-        for k in range(num_band):
-            if P_j[a, k] == 0 and k > 0:
-                P_i[a, k] = k
-                P_j[a, k] = min(k + 1, n_max - 1)
-        # loop closures after the band
-        for off, m in enumerate(lc_lists[a]):
-            k = num_band + off
-            P_i[a, k] = m.p1
-            P_j[a, k] = m.p2
-            P_T[a, k] = homogeneous(m.R, m.t)
-            P_k[a, k] = m.kappa
-            P_t[a, k] = m.tau
-            P_w[a, k] = m.weight
-            P_fx[a, k] = m.fixed_weight
+            if k < num_band:
+                P_ln[a, k] = lane_of[m.p2 - m.p1]
         for k, m in enumerate(shared_lcs[a]):
             S_T[a, k] = homogeneous(m.R, m.t)
             S_k[a, k] = m.kappa
@@ -286,11 +294,13 @@ def build_spmd_problem(
 
     problem = SPMDProblem(
         num_agents=num_agents, n_max=n_max, d=d, r=r, num_band=num_band,
+        band_offsets=band_offsets,
         priv_i=jnp.asarray(P_i), priv_j=jnp.asarray(P_j),
         priv_T=jnp.asarray(P_T, dtype),
         priv_kappa=jnp.asarray(P_k, dtype), priv_tau=jnp.asarray(P_t, dtype),
         priv_weight=jnp.asarray(P_w, dtype),
         priv_fixed_weight=jnp.asarray(P_fx),
+        priv_lane=jnp.asarray(P_ln),
         shared_idx=jnp.asarray(S_idx), shared_T=jnp.asarray(S_T, dtype),
         shared_kappa=jnp.asarray(S_k, dtype), shared_tau=jnp.asarray(S_t, dtype),
         shared_weight=jnp.asarray(S_w, dtype),
@@ -337,7 +347,7 @@ def initial_state(
 
 def _agent_local_problem(problem: SPMDProblem, a_priv, a_shared) -> quadratic.LocalProblem:
     """Assemble a LocalProblem for ONE agent from sliced arrays."""
-    (pi, pj, pT, pk, pt, pw) = a_priv
+    (pi, pj, pT, pk, pt, pw, pl) = a_priv
     (sidx, sT, sk, st, sw, sout) = a_shared
     r = problem.r
     # The caller resolves neighbor poses per edge, so the LocalProblem's
@@ -345,6 +355,7 @@ def _agent_local_problem(problem: SPMDProblem, a_priv, a_shared) -> quadratic.Lo
     ms = sidx.shape[0]
     return quadratic.LocalProblem(
         n=problem.n_max, d=problem.d, num_band=problem.num_band,
+        band_offsets=problem.band_offsets, priv_lane=pl,
         priv_i=pi, priv_j=pj, priv_T=pT,
         priv_kappa=pk, priv_tau=pt, priv_weight=pw,
         shared_idx=sidx, shared_T=sT,
@@ -389,7 +400,7 @@ def _build_qd_static(problem: SPMDProblem, cfg: SPMDConfig):
     reference does with std::optional data matrices, PoseGraph.h:325-331)."""
     pr = problem
     a_priv = (pr.priv_i, pr.priv_j, pr.priv_T, pr.priv_kappa, pr.priv_tau,
-              pr.priv_weight)
+              pr.priv_weight, pr.priv_lane)
     a_shared = (pr.shared_idx, pr.shared_T, pr.shared_kappa, pr.shared_tau,
                 pr.shared_weight, pr.shared_outgoing)
 
@@ -467,7 +478,7 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
     dtype = state_blk.X.dtype
 
     a_priv = (pr.priv_i, pr.priv_j, pr.priv_T, pr.priv_kappa, pr.priv_tau,
-              pr.priv_weight)
+              pr.priv_weight, pr.priv_lane)
     a_shared = (pr.shared_idx, pr.shared_T, pr.shared_kappa, pr.shared_tau,
                 pr.shared_weight, pr.shared_outgoing)
 
@@ -629,7 +640,7 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
     )
     problem_specs = SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
-        num_band=problem.num_band,
+        num_band=problem.num_band, band_offsets=problem.band_offsets,
         **{f: blk_spec for f in _DATA_FIELDS},
     )
     fn = jax.shard_map(
@@ -722,11 +733,19 @@ def run_rbcd_gnc(
     mu_step: float = 1.4,
     num_weight_updates: int = 10,
     inner_rounds: int = 30,
+    rel_change_tol: float = 5e-3,
     mesh: Optional[Mesh] = None,
 ):
-    """Distributed GNC-TLS: alternate `inner_rounds` of RBCD with team-wide
-    weight updates and a growing mu (reference's distributed robust schedule,
+    """Distributed GNC-TLS: alternate RBCD with team-wide weight updates and
+    a growing mu (reference's distributed robust schedule,
     PGOAgent.cpp:997-1142).
+
+    Weight updates are convergence-gated like the reference's
+    shouldUpdateMeasurementWeights (PGOAgent.cpp:997-1046): each inner phase
+    runs until the team-wide max relative change drops below rel_change_tol
+    (= every agent readyToTerminate) or the `inner_rounds` budget is
+    exhausted, whichever comes first. Before the first weight update the
+    loose threshold 5.0 is used (PGOAgent.cpp:411-415).
 
     init_mu=None uses the adaptive initialization of the reference's batch
     GNC (DPGO_solver.cpp:356-358): mu0 = barc^2 / (2 max r^2 - barc^2),
@@ -736,10 +755,13 @@ def run_rbcd_gnc(
     run = make_run_fn(problem, cfg, mesh)
     mu = init_mu
     history = []
-    for _ in range(num_weight_updates):
+    for k in range(num_weight_updates):
         # pass the CURRENT problem: weights updated by gnc_reweight must be
         # seen by the inner optimization (same shapes -> no recompile)
-        state, metrics, rounds = run(state, inner_rounds, 0.0, problem=problem)
+        rel_tol = 5.0 if k == 0 else rel_change_tol
+        state, metrics, rounds = run(
+            state, inner_rounds, 0.0, problem=problem, rel_tol=rel_tol
+        )
         if mu is None:
             r_sq_p, r_sq_s = _gnc_residuals_sq(problem, state)
             r_max = float(jnp.maximum(jnp.max(r_sq_p), jnp.max(r_sq_s)))
@@ -775,11 +797,15 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
 
     def make_loop(axis_name, agent_offset, pr_blk, qd_static):
         def cond(carry):
-            state, metrics, sel, rounds, max_rounds, tol = carry
-            return jnp.logical_and(rounds < max_rounds, metrics.gradnorm >= tol)
+            state, metrics, sel, rounds, max_rounds, tol, rel_tol = carry
+            more = jnp.logical_and(rounds < max_rounds, metrics.gradnorm >= tol)
+            # team-wide relative-change termination (the reference's
+            # readyToTerminate gate, PGOAgent.cpp:402-421); rel_tol=0
+            # disables it
+            return jnp.logical_and(more, metrics.max_rel_change >= rel_tol)
 
         def body(carry):
-            state, _metrics, sel, rounds, max_rounds, tol = carry
+            state, _metrics, sel, rounds, max_rounds, tol, rel_tol = carry
             new_state, metrics, gnorm_a = _round_body(
                 pr_blk, cfg, axis_name, agent_offset, state, sel, qd_static
             )
@@ -788,11 +814,11 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
             else:
                 gnorm_all = jax.lax.all_gather(gnorm_a, axis_name, axis=0, tiled=True)
             nxt = _select_next(gnorm_all, cfg, state.it, key)
-            return (new_state, metrics, nxt, rounds + 1, max_rounds, tol)
+            return (new_state, metrics, nxt, rounds + 1, max_rounds, tol, rel_tol)
 
         return cond, body
 
-    def init_carry(state, max_rounds, tol):
+    def init_carry(state, max_rounds, tol, rel_tol):
         dtype = state.X.dtype
         metrics0 = RoundMetrics(
             cost=jnp.asarray(jnp.inf, dtype),
@@ -801,20 +827,21 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
         )
         sel0 = jnp.asarray(-1 if cfg.mode == "all" else 0, jnp.int32)
         return (state, metrics0, sel0, jnp.asarray(0, jnp.int32),
-                jnp.asarray(max_rounds, jnp.int32), jnp.asarray(tol, dtype))
+                jnp.asarray(max_rounds, jnp.int32), jnp.asarray(tol, dtype),
+                jnp.asarray(rel_tol, dtype))
 
     if mesh is None:
         @jax.jit
-        def _run(pr, state, max_rounds, tol):
+        def _run(pr, state, max_rounds, tol, rel_tol):
             qd_static = _build_qd_static(pr, cfg)
             cond, body = make_loop(None, jnp.asarray(0, jnp.int32), pr, qd_static)
             state, metrics, _sel, rounds, *_ = jax.lax.while_loop(
-                cond, body, init_carry(state, max_rounds, tol)
+                cond, body, init_carry(state, max_rounds, tol, rel_tol)
             )
             return state, metrics, rounds
 
-        def run(state, max_rounds, tol, problem=problem):
-            return _run(problem, state, max_rounds, tol)
+        def run(state, max_rounds, tol, problem=problem, rel_tol=0.0):
+            return _run(problem, state, max_rounds, tol, rel_tol)
 
         return run
 
@@ -824,13 +851,13 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
     blk_spec = P("agents")
     rep = P()
 
-    def sharded_run(pr_blk, state_blk, max_rounds, tol):
+    def sharded_run(pr_blk, state_blk, max_rounds, tol, rel_tol):
         dev = jax.lax.axis_index("agents")
         offset = (dev * A).astype(jnp.int32)
         qd_static = _build_qd_static(pr_blk, cfg)
         cond, body = make_loop("agents", offset, pr_blk, qd_static)
         state, metrics, _sel, rounds, *_ = jax.lax.while_loop(
-            cond, body, init_carry(state_blk, max_rounds, tol)
+            cond, body, init_carry(state_blk, max_rounds, tol, rel_tol)
         )
         return state, metrics, rounds
 
@@ -838,25 +865,25 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
                             cost_X=rep, do_restart=rep)
     problem_specs = SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
-        num_band=problem.num_band,
+        num_band=problem.num_band, band_offsets=problem.band_offsets,
         **{f: blk_spec for f in _DATA_FIELDS},
     )
     fn = jax.shard_map(
         sharded_run,
         mesh=mesh,
-        in_specs=(problem_specs, state_specs, rep, rep),
+        in_specs=(problem_specs, state_specs, rep, rep, rep),
         out_specs=(state_specs, RoundMetrics(rep, rep, rep), rep),
         check_vma=False,
     )
     sharding = NamedSharding(mesh, blk_spec)
 
     @jax.jit
-    def _run(pr, state, max_rounds, tol):
-        return fn(pr, state, max_rounds, tol)
+    def _run(pr, state, max_rounds, tol, rel_tol):
+        return fn(pr, state, max_rounds, tol, rel_tol)
 
-    def run(state, max_rounds, tol, problem=problem):
+    def run(state, max_rounds, tol, problem=problem, rel_tol=0.0):
         pr_dev = jax.tree.map(lambda x: jax.device_put(x, sharding), problem)
-        return _run(pr_dev, state, max_rounds, tol)
+        return _run(pr_dev, state, max_rounds, tol, rel_tol)
 
     return run
 

@@ -46,11 +46,12 @@ from dpgo_tpu.types import PRECONDITIONER_SHIFT, PRIOR_KAPPA, PRIOR_TAU
     jax.tree_util.register_dataclass,
     data_fields=[
         "priv_i", "priv_j", "priv_T", "priv_kappa", "priv_tau", "priv_weight",
+        "priv_lane",
         "shared_idx", "shared_T", "shared_kappa", "shared_tau", "shared_weight",
         "shared_outgoing", "shared_nbr_slot", "shared_mask",
         "prior_idx", "prior_pose", "prior_mask",
     ],
-    meta_fields=["n", "d", "num_band"],
+    meta_fields=["n", "d", "num_band", "band_offsets"],
 )
 @dataclasses.dataclass(frozen=True)
 class LocalProblem:
@@ -86,11 +87,16 @@ class LocalProblem:
     prior_idx: jax.Array
     prior_pose: jax.Array
     prior_mask: jax.Array
-    # first num_band private edges form the odometry band: edge k connects
-    # (priv_i[k], priv_i[k]+1) with unique priv_i — their matvec contributions
-    # lower to shifted dense batched matmuls instead of gather/scatter
-    # (see with_band_ordering / q_matvec)
+    # Band lanes: the first num_band private edges are "banded" — each has
+    # j - i == band_offsets[priv_lane[k]] and its matvec contribution lowers
+    # to a shifted dense batched matmul instead of gather/scatter (the
+    # dominant hot-op rewrite for TPU: pose graphs are offset-structured —
+    # odometry is offset 1, and sweep/grid loop closures concentrate on a few
+    # offsets; sphere2500 is 100% covered by offsets {1, 50}). Remaining
+    # edges use the gather/scatter path. See plan_bands / q_matvec.
+    priv_lane: jax.Array = dataclasses.field(default=None)  # (mp,) int32
     num_band: int = 0
+    band_offsets: tuple = ()
 
     @property
     def dh(self) -> int:
@@ -128,7 +134,7 @@ class CSRPlans:
     jax.tree_util.register_dataclass,
     data_fields=["diag", "off_i", "off_j", "off_E", "G", "precond_inv",
                  "band_E", "csr", "btf"],
-    meta_fields=["n", "d"],
+    meta_fields=["n", "d", "band_offsets"],
 )
 @dataclasses.dataclass(frozen=True)
 class QuadraticData:
@@ -160,11 +166,13 @@ class QuadraticData:
     off_E: jax.Array
     G: jax.Array
     precond_inv: jax.Array
-    # (n-1, dh, dh) dense odometry-band blocks (zeros where no band edge), or
-    # None when the problem carries no band ordering
+    # (L, n, dh, dh) dense band-lane blocks — lane l holds the (merged) E
+    # blocks of edges (i, i + band_offsets[l]) at row i, zeros elsewhere —
+    # or None when the problem carries no band plan
     band_E: Optional[jax.Array] = None
     csr: Optional[CSRPlans] = None
     btf: Optional[object] = None
+    band_offsets: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -230,17 +238,24 @@ def build_q_data(
     diag = diag.at[problem.priv_i].add(W)
     diag = diag.at[problem.priv_j].add(_diag_embed(om_p))
 
-    # odometry band: dense (n-1, dh, dh) blocks, remaining edges via indices
+    # band lanes: dense (L, n, dh, dh) blocks (shifted-matmul matvec path);
+    # remaining edges go via gather/scatter indices
     nb = problem.num_band
-    if nb > 0 and n > 1:
-        band_E = jnp.zeros((n - 1, dh, dh), dtype).at[problem.priv_i[:nb]].set(
-            E[:nb]
+    offs = tuple(problem.band_offsets)
+    if nb > 0 and n > 1 and offs:
+        L = len(offs)
+        flat = problem.priv_lane[:nb] * n + problem.priv_i[:nb]
+        band_E = (
+            jnp.zeros((L * n, dh, dh), dtype)
+            .at[flat].add(E[:nb])
+            .reshape(L, n, dh, dh)
         )
         off_i, off_j, off_E = (
             problem.priv_i[nb:], problem.priv_j[nb:], E[nb:],
         )
     else:
         band_E = None
+        offs = ()
         off_i, off_j, off_E = problem.priv_i, problem.priv_j, E
 
     # --- shared edges (diagonal contributions) ---
@@ -270,20 +285,24 @@ def build_q_data(
     # reference's full Cholmod LDL^T (PoseGraph.cpp:598-613) in quality.
     shifted = diag + precond_shift * jnp.eye(dh, dtype=dtype)
     btf = None
-    if precond == "tridiag" and band_E is not None:
+    if precond == "tridiag" and band_E is not None and 1 in offs and n > 1:
         from dpgo_tpu.ops import block_tridiag as _bt
 
-        btf = _bt.factorize(shifted, band_E)
+        # the offset-1 lane is the odometry chain; the other lanes' edges
+        # still strengthen the factor through their diagonal contributions
+        E1 = band_E[offs.index(1), : n - 1]
+        btf = _bt.factorize(shifted, E1)
         precond_inv = jnp.zeros((0, dh, dh), dtype)
     else:
-        L = jnp.linalg.cholesky(shifted)
+        Lc = jnp.linalg.cholesky(shifted)
         eye = jnp.broadcast_to(jnp.eye(dh, dtype=dtype), shifted.shape)
-        precond_inv = jax.scipy.linalg.cho_solve((L, True), eye)
+        precond_inv = jax.scipy.linalg.cho_solve((Lc, True), eye)
 
     return QuadraticData(
         n=n, d=d, diag=diag,
         off_i=off_i, off_j=off_j, off_E=off_E,
         G=G, precond_inv=precond_inv, band_E=band_E, csr=None, btf=btf,
+        band_offsets=offs,
     )
 
 
@@ -339,10 +358,18 @@ def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
     out = jnp.einsum("nrb,nbc->nrc", V, qd.diag)
     n, r, dh = V.shape
     if qd.band_E is not None:
-        # odometry band: edge s connects (s, s+1) -> shifted batched matmuls
-        contrib_j = jnp.einsum("nrb,nbc->nrc", V[:-1], qd.band_E)
-        contrib_i = jnp.einsum("nrb,ncb->nrc", V[1:], qd.band_E)
-        out = out.at[1:].add(-contrib_j).at[:-1].add(-contrib_i)
+        # band lanes: edges (i, i+delta) lower to shifted dense batched
+        # matmuls — zero gather/scatter. pad+add instead of slice-update
+        # (slice-update + dot compositions inside loops trigger an XLA:TPU
+        # compile blowup, see docs/PERF.md)
+        for lane, delta in enumerate(qd.band_offsets):
+            if delta >= n:
+                continue
+            Eh = qd.band_E[lane, : n - delta]
+            contrib_j = jnp.einsum("nrb,nbc->nrc", V[: n - delta], Eh)
+            contrib_i = jnp.einsum("nrb,ncb->nrc", V[delta:], Eh)
+            out = out + jnp.pad(-contrib_j, ((delta, 0), (0, 0), (0, 0)))
+            out = out + jnp.pad(-contrib_i, ((0, delta), (0, 0), (0, 0)))
     m = qd.off_E.shape[0]
     if m == 0:
         return out
@@ -503,6 +530,7 @@ def make_local_problem(
     return LocalProblem(
         n=n,
         d=d,
+        priv_lane=jnp.zeros((len(priv_i),), jnp.int32),
         priv_i=jnp.asarray(priv_i, jnp.int32),
         priv_j=jnp.asarray(priv_j, jnp.int32),
         priv_T=jnp.asarray(priv_T, dtype),
@@ -523,42 +551,96 @@ def make_local_problem(
     )
 
 
-def with_band_ordering(problem: LocalProblem) -> LocalProblem:
-    """Host-side: reorder private edges so the odometry band (j == i+1, one
-    edge per i) comes first, and set num_band. The band's matvec contributions
-    then lower to shifted dense batched matmuls (no gather/scatter)."""
+def choose_band_offsets(
+    i_np: np.ndarray,
+    j_np: np.ndarray,
+    n: int,
+    max_lanes: int = 16,
+    min_count: Optional[int] = None,
+) -> tuple:
+    """Host-side: pick the edge offsets worth a dense band lane. An offset
+    delta qualifies when enough edges share it (each lane costs two dense
+    shifted matmuls over n rows per matvec; an edge on a lane saves two
+    gather rows + two scatter rows). Returns a sorted tuple of offsets."""
+    if n < 2 or len(i_np) == 0:
+        return ()
+    if min_count is None:
+        min_count = max(16, n // 32)
+    delta = j_np - i_np
+    valid = (delta >= 1) & (delta < n)
+    vals, cnts = np.unique(delta[valid], return_counts=True)
+    keep = vals[cnts >= min_count]
+    kcnt = cnts[cnts >= min_count]
+    if len(keep) > max_lanes:
+        top = np.argsort(-kcnt)[:max_lanes]
+        keep = keep[top]
+    # always include the odometry offset if present at all (it also feeds
+    # the block-tridiagonal preconditioner)
+    if 1 in vals and 1 not in keep:
+        keep = np.append(keep, 1)[-max_lanes:] if len(keep) >= max_lanes \
+            else np.append(keep, 1)
+    return tuple(int(v) for v in np.sort(keep))
+
+
+def plan_bands(
+    problem: LocalProblem,
+    max_lanes: int = 16,
+    min_count: Optional[int] = None,
+    offsets: Optional[tuple] = None,
+) -> LocalProblem:
+    """Host-side: reorder private edges so banded edges (j - i in a small set
+    of common offsets) come first, assign each a lane, and record the offset
+    set. Their matvec contributions then lower to shifted dense batched
+    matmuls (no gather/scatter) — pose graphs are offset-structured
+    (odometry = offset 1; sweep/grid loop closures concentrate on a few
+    offsets: sphere2500 is fully covered by {1, 50}, torus3D by {1, 100,
+    4900}). Pass `offsets` to force a specific lane set."""
     i_np = np.asarray(problem.priv_i)
     j_np = np.asarray(problem.priv_j)
-    is_band = j_np == i_np + 1
-    # one band edge per source slot: keep the first, demote duplicates
-    slots, first_idx = np.unique(i_np[is_band], return_index=True)
-    band_pos = np.flatnonzero(is_band)[first_idx]
-    band_mask = np.zeros(len(i_np), bool)
-    band_mask[band_pos] = True
-    order = np.concatenate([np.flatnonzero(band_mask), np.flatnonzero(~band_mask)])
-    nb = int(band_mask.sum())
-
-    def perm(x):
-        return x[jnp.asarray(order)] if x.shape[0] == len(order) else x
-
+    if offsets is None:
+        offsets = choose_band_offsets(
+            i_np, j_np, problem.n, max_lanes=max_lanes, min_count=min_count
+        )
+    offsets = tuple(int(d) for d in offsets)
+    if not offsets:
+        return dataclasses.replace(
+            problem,
+            priv_lane=jnp.zeros(i_np.shape, jnp.int32),
+            num_band=0, band_offsets=(),
+        )
+    lane_of = {d: k for k, d in enumerate(offsets)}
+    delta = j_np - i_np
+    lane = np.array([lane_of.get(int(x), -1) for x in delta], np.int32)
+    banded = lane >= 0
+    order = np.concatenate([np.flatnonzero(banded), np.flatnonzero(~banded)])
+    nb = int(banded.sum())
+    o = jnp.asarray(order)
     return dataclasses.replace(
         problem,
-        priv_i=problem.priv_i[jnp.asarray(order)],
-        priv_j=problem.priv_j[jnp.asarray(order)],
-        priv_T=problem.priv_T[jnp.asarray(order)],
-        priv_kappa=problem.priv_kappa[jnp.asarray(order)],
-        priv_tau=problem.priv_tau[jnp.asarray(order)],
-        priv_weight=problem.priv_weight[jnp.asarray(order)],
+        priv_i=problem.priv_i[o],
+        priv_j=problem.priv_j[o],
+        priv_T=problem.priv_T[o],
+        priv_kappa=problem.priv_kappa[o],
+        priv_tau=problem.priv_tau[o],
+        priv_weight=problem.priv_weight[o],
+        priv_lane=jnp.asarray(np.maximum(lane[order], 0)),
         num_band=nb,
+        band_offsets=offsets,
     )
+
+
+def with_band_ordering(problem: LocalProblem) -> LocalProblem:
+    """Back-compat alias: single odometry band (offset 1 only)."""
+    return plan_bands(problem, offsets=(1,))
 
 
 def from_private_measurements(
     edges, n: int, d: int, dtype=jnp.float64, band: bool = True
 ) -> LocalProblem:
     """LocalProblem with only private edges, from an EdgeArrays (all endpoints
-    must belong to the same robot). band=True orders the odometry chain first
-    so its matvec contributions avoid gather/scatter."""
+    must belong to the same robot). band=True plans dense band lanes for the
+    common edge offsets (odometry + structured loop closures) so their matvec
+    contributions avoid gather/scatter."""
     from dpgo_tpu.measurements import homogeneous
 
     T = homogeneous(edges.R, edges.t).astype(np.float64)
@@ -568,4 +650,4 @@ def from_private_measurements(
         priv_kappa=edges.kappa, priv_tau=edges.tau, priv_weight=edges.weight,
         dtype=dtype,
     )
-    return with_band_ordering(problem) if band else problem
+    return plan_bands(problem) if band else problem

@@ -15,20 +15,38 @@ from dpgo_tpu.solvers import rtr as rtr_mod
 
 DATA = "/root/reference/data"
 
-# (name, known optimal cost or None). sphere2500's 1687.0058 is the
-# well-known SE-Sync global optimum for this dataset at the parser's
-# kappa/tau conventions — reaching it certifies the whole pipeline.
+# (name, known optimal cost or None, gradnorm tol). sphere2500's 1687.0058
+# is the well-known SE-Sync global optimum for this dataset at the parser's
+# kappa/tau conventions — reaching it certifies the whole pipeline. The full
+# bundled suite is exercised (reference: data/*.g2o); 2D city-scale datasets
+# use a looser gradnorm tolerance matching the reference example's stop rule
+# (MultiRobotExample.cpp:229 uses 0.1).
 CASES = [
-    ("tinyGrid3D.g2o", None),
-    ("smallGrid3D.g2o", None),
-    ("parking-garage.g2o", None),
-    ("sphere2500.g2o", 1687.00581),
-    ("input_INTEL_g2o.g2o", None),  # 2D
+    ("tinyGrid3D.g2o", None, 1e-2),
+    ("smallGrid3D.g2o", None, 1e-2),
+    ("parking-garage.g2o", None, 1e-2),
+    ("sphere2500.g2o", 1687.00581, 1e-2),
+    ("sphere_bignoise_vertex3.g2o", None, 1e-2),
+    ("torus3D.g2o", None, 1e-2),
+    ("cubicle.g2o", None, 1e-2),
+    ("input_INTEL_g2o.g2o", None, 1e-2),  # 2D from here down
+    ("input_M3500_g2o.g2o", None, 1e-2),
+    ("CSAIL.g2o", None, 1e-2),
+    ("input_MITb_g2o.g2o", None, 0.1),
+    # ais2klinik is the suite's conditioning stress case: the initial
+    # Riemannian gradient norm is ~5000 and even the reference's exact-LDL^T
+    # preconditioned RTR needs very many iterations. Certify a 99%+ gradnorm
+    # reduction within the iteration budget instead of an absolute tolerance.
+    ("ais2klinik.g2o", None, "relative"),
+    ("city10000.g2o", None, 0.1),
+    ("kitti_00.g2o", None, 0.1),
+    ("kitti_02.g2o", None, 0.1),
+    ("kitti_05.g2o", None, 0.1),
 ]
 
 
-@pytest.mark.parametrize("name,known_cost", CASES)
-def test_centralized_solve_dataset(name, known_cost):
+@pytest.mark.parametrize("name,known_cost,tol", CASES)
+def test_centralized_solve_dataset(name, known_cost, tol):
     meas, n = read_g2o_file(f"{DATA}/{name}")
     d = meas[0].d
     r = 5
@@ -37,12 +55,19 @@ def test_centralized_solve_dataset(name, known_cost):
     T = chordal_mod.chordal_initialization_arrays(edges, n=n)
     Y_lift = jnp.asarray(lifted.fixed_stiefel_variable(d, r))
     X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
-    qd = quadratic.build_quadratic_data(problem, jnp.zeros((1, r, d + 1)), r=r)
-    X, stats = rtr_mod.rtr_solve(
-        qd, X0, gradnorm_tol=1e-2, initial_radius=100.0,
-        max_iterations=100, max_inner=300,
+    relative = tol == "relative"
+    gtol = 1e-6 if relative else tol
+    qd = quadratic.build_quadratic_data(
+        problem, jnp.zeros((1, r, d + 1)), r=r, precond="tridiag"
     )
-    assert float(stats.gnorm_opt) < 1e-2, name
+    X, stats = rtr_mod.rtr_solve(
+        qd, X0, gradnorm_tol=gtol, initial_radius=100.0,
+        max_iterations=200, max_inner=300,
+    )
+    if relative:
+        assert float(stats.gnorm_opt) < 1e-2 * float(stats.gnorm_init), name
+    else:
+        assert float(stats.gnorm_opt) < tol, name
     assert float(stats.f_opt) <= float(stats.f_init)
     assert lifted.check_stiefel(np.asarray(X)[:, :, :d])
     if known_cost is not None:

@@ -150,6 +150,39 @@ def test_robust_multirobot_initialization():
     assert res.final_gradnorm < 0.05
 
 
+def test_one_stage_robust_neighbor_transform():
+    """The one-stage GNC pose-averaging alignment
+    (computeRobustNeighborTransform, reference PGOAgent.cpp:604-648) finds
+    the same transform as the default two-stage variant on a clean world and
+    rejects the outlier alignment on a polluted one."""
+    from dpgo_tpu.agent import PGOAgent
+    from dpgo_tpu.parallel.partition import partition_measurements
+
+    rng = np.random.default_rng(74)
+    meas, n, _ = _two_robot_world(rng, n=8, outlier=True)
+    params = PGOAgentParameters(
+        d=3, r=5, num_robots=2,
+        local_opt_params=ROptParameters(RTR_iterations=1),
+        robust_init_min_inliers=2,
+    )
+    odometry, private_lcs, shared_lcs, ranges = partition_measurements(meas, n, 2)
+    agents = [PGOAgent(0, params), PGOAgent(1, params)]
+    agents[1].set_lifting_matrix(agents[0].get_lifting_matrix())
+    for rid in range(2):
+        agents[rid].set_measurements(odometry[rid], private_lcs[rid], shared_lcs[rid])
+        agents[rid].initialize()
+    agents[1].set_neighbor_status(agents[0].get_status())
+    pose_dict = agents[0].get_shared_pose_dict_with_neighbor(1)
+    T1 = agents[1].compute_robust_neighbor_transform(1 - 1, pose_dict)
+    T2 = agents[1].compute_robust_neighbor_transform_two_stage(0, pose_dict)
+    assert T1 is not None and T2 is not None
+    # both reject the garbage alignment (30+ units off) and agree on the
+    # inlier transform; small differences are expected (joint GNC pose
+    # averaging vs rotation-then-translation staging)
+    np.testing.assert_allclose(T1[:, :3], T2[:, :3], atol=1e-2)
+    np.testing.assert_allclose(T1[:, 3], T2[:, 3], atol=0.5)
+
+
 def test_async_multirobot():
     """Asynchronous per-agent threads + communication thread reduce the cost
     (reference async mode, RA-L 2020)."""

@@ -137,9 +137,14 @@ def test_spmd_gnc_rejects_outlier():
     X0 = np.einsum("rd,nde->nre", Y_lift, T)
     state = spmd.initial_state(problem, X0, ranges)
     cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    # init_mu=None: the reference's adaptive mu0 from the max residual
+    # (DPGO_solver.cpp:356-358). With the convergence-gated weight-update
+    # schedule (shouldUpdateMeasurementWeights semantics) the first update
+    # happens early (loose rel-change tol 5.0, PGOAgent.cpp:411-415), so the
+    # annealing must start from the data-derived mu.
     problem_out, state_out, hist = spmd.run_rbcd_gnc(
         problem, state, cfg,
-        barc=5.0, init_mu=0.01, mu_step=1.4,
+        barc=5.0, init_mu=None, mu_step=1.4,
         num_weight_updates=16, inner_rounds=15,
     )
     w = np.asarray(problem_out.shared_weight)
