@@ -427,9 +427,7 @@ def _agent_round(
     G = quadratic.build_linear_term(lp, nbr_poses, r=problem.r)
     qd = dataclasses.replace(qd_static, G=G)
 
-    gnorm = quadratic.rie_grad_norm(qd, X0)
-
-    Xopt, _stats = rtr_mod.rtr_solve(
+    Xopt, stats = rtr_mod.rtr_solve(
         qd, X0,
         gradnorm_tol=cfg.rtr_gradnorm_tol,
         initial_radius=cfg.rtr_initial_radius,
@@ -441,7 +439,8 @@ def _agent_round(
     X_new = jnp.where(do_opt, Xopt, X0)
     outgoing_only = a_shared[5].astype(X0.dtype)
     cost = _edge_cost_terms(X0, nbr_poses, lp, outgoing_only)
-    return X_new, gnorm, cost
+    # the solver already evaluated the Riemannian gradient norm at X0
+    return X_new, stats.gnorm_init, cost
 
 
 # ---------------------------------------------------------------------------

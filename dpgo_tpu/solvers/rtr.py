@@ -179,7 +179,10 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
     else:
         tcg = _tcg(qd, state.X, state.S, state.grad, state.radius, max_inner)
     X_new = lifted.retract(state.X, tcg.eta)
-    f_new = quadratic.cost(qd, X_new)
+    # one matvec serves both the new cost and the new Euclidean gradient:
+    # f = 0.5 <XQ, X> + <X, G>,  eg = XQ + G
+    qm_new = quadratic.q_matvec(qd, X_new)
+    f_new = 0.5 * jnp.vdot(qm_new, X_new) + jnp.vdot(X_new, qd.G)
 
     model_decrease = -(lifted.inner(state.grad, tcg.eta) + 0.5 * lifted.inner(tcg.eta, tcg.Heta))
     # small regularization guards rho against cancellation near convergence
@@ -205,10 +208,13 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
     X_next = jnp.where(accept, X_new, state.X)
     f_next = jnp.where(accept, f_new, state.fx)
 
-    eg = quadratic.euc_grad(qd, X_next)
-    grad_next = lifted.proj_tangent(X_next, eg)
-    S_next = quadratic.hess_correction(X_next, eg)
-    # avoid recomputation when rejected (values identical anyway)
+    # on rejection the previous gradient/correction are still valid — select
+    # instead of recomputing (saves a matvec on the rejected branch too)
+    eg = qm_new + qd.G
+    grad_new = lifted.proj_tangent(X_new, eg)
+    S_new = quadratic.hess_correction(X_new, eg)
+    grad_next = jnp.where(accept, grad_new, state.grad)
+    S_next = jnp.where(accept, S_new, state.S)
     return RTRState(
         X=X_next,
         fx=f_next,
@@ -223,11 +229,13 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
 
 
 def _initial_state(qd, Y0, radius):
-    eg = quadratic.euc_grad(qd, Y0)
+    # one matvec for both cost and gradient (f = 0.5 <XQ,X> + <X,G>)
+    qm = quadratic.q_matvec(qd, Y0)
+    eg = qm + qd.G
     grad = lifted.proj_tangent(Y0, eg)
     return RTRState(
         X=Y0,
-        fx=quadratic.cost(qd, Y0),
+        fx=0.5 * jnp.vdot(qm, Y0) + jnp.vdot(Y0, qd.G),
         grad=grad,
         gnorm=lifted.norm(grad),
         S=quadratic.hess_correction(Y0, eg),
