@@ -112,9 +112,10 @@ def run_centralized(meas, n, verbose=False):
 def run_distributed(meas, n):
     """Secondary: 8-agent accelerated RBCD (SPMD, fused loop), time to tol.
 
-    On TPU: mixed-precision rounds (f32 tCG inner) until the global gradient
-    norm nears the f32 noise floor, then f64 rounds to the final tolerance —
-    the f32 path alone plateaus around gradnorm ~2e-2 on sphere2500."""
+    On TPU: mixed precision — f32 tCG inner loops, f64 trust-region control
+    AND f64 Newton-Schulz Nesterov projections (the projections feed the
+    iterate itself; running them in f32 floors the reachable global gradnorm
+    at ~2e-2). This converges to 1e-2 with no full-f64 phase."""
     import jax
 
     from dpgo_tpu.ops import lifted
@@ -128,34 +129,24 @@ def run_distributed(meas, n):
     X0 = np.einsum("rd,nde->nre", Y_lift, T)
     state0 = spmd.initial_state(problem, X0, ranges)
     mixed = jax.devices()[0].platform != "cpu"
-
-    def cfg(inner):
-        return spmd.SPMDConfig(
-            mode="all", acceleration=True, rtr_iterations=1,
-            rtr_gradnorm_tol=TOL / (2 * np.sqrt(NUM_AGENTS)),
-            rtr_inner_dtype=inner, adaptive_restart=True, precond="tridiag",
-        )
-
-    run_f32 = spmd.make_run_fn(problem, cfg("float32"), mesh=None) if mixed else None
-    run_f64 = spmd.make_run_fn(problem, cfg(None), mesh=None)
-    # warm up (compile) both phases
-    if run_f32 is not None:
-        s_w, _, _ = run_f32(state0, 1, TOL)
-        np.asarray(s_w.X)
-    s_w, _, _ = run_f64(state0, 1, TOL)
-    np.asarray(s_w.X)
+    cfg = spmd.SPMDConfig(
+        mode="all", acceleration=True, rtr_iterations=1,
+        rtr_gradnorm_tol=TOL / (2 * np.sqrt(NUM_AGENTS)),
+        rtr_inner_dtype="float32" if mixed else None,
+        adaptive_restart=True,
+    )
+    run_fn = spmd.make_run_fn(problem, cfg, mesh=None)
+    s_warm, _, _ = run_fn(state0, 1, TOL)
+    np.asarray(s_warm.X)
 
     # Chunk the fused loop: single XLA executions that run for minutes get
     # killed by the tunnel's watchdog, so bound each launch to 50 rounds.
-    switch_tol = 4 * TOL  # hand mixed-precision off to f64 near its floor
     t0 = time.perf_counter()
     state = state0
     total_rounds = 0
     gradnorm = float("inf")
     while total_rounds < 900 and gradnorm >= TOL:
-        fn = run_f32 if (run_f32 is not None and gradnorm >= switch_tol) else run_f64
-        tol = switch_tol if fn is run_f32 else TOL
-        state, metrics, rounds = fn(state, 50, tol)
+        state, metrics, rounds = run_fn(state, 50, TOL)
         total_rounds += int(rounds)
         gradnorm = float(metrics.gradnorm)
     np.asarray(state.X)

@@ -167,7 +167,7 @@ def _read_g2o_arrays_py(filename: str) -> Tuple[EdgeArrays, int]:
 
     if se2_rows:
         # EDGE_SE2 i j dx dy dtheta I11 I12 I13 I22 I23 I33
-        data = np.fromstring(" ".join(se2_rows), sep=" ").reshape(-1, 11)
+        data = np.fromiter(" ".join(se2_rows).split(), dtype=np.float64).reshape(-1, 11)
         i = data[:, 0].astype(np.int64)
         j = data[:, 1].astype(np.int64)
         dx, dy, dtheta = data[:, 2], data[:, 3], data[:, 4]
@@ -183,7 +183,7 @@ def _read_g2o_arrays_py(filename: str) -> Tuple[EdgeArrays, int]:
         kappa = I33
     else:
         # EDGE_SE3:QUAT i j dx dy dz qx qy qz qw I11..I66 (upper triangle)
-        data = np.fromstring(" ".join(se3_rows), sep=" ").reshape(-1, 30)
+        data = np.fromiter(" ".join(se3_rows).split(), dtype=np.float64).reshape(-1, 30)
         i = data[:, 0].astype(np.int64)
         j = data[:, 1].astype(np.int64)
         t = data[:, 2:5].copy()

@@ -195,8 +195,8 @@ def segment_sum_csr(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dest3d
-            pl.BlockSpec(memory_space=pltpu.ANY),  # contributions
+            pl.BlockSpec(memory_space=pl.ANY),  # dest3d
+            pl.BlockSpec(memory_space=pl.ANY),  # contributions
         ],
         out_specs=pl.BlockSpec((plan.tile_rows, w_pad), lambda k, *_: (k, 0)),
         scratch_shapes=[

@@ -159,6 +159,9 @@ class SPMDConfig:
     # trust-region control in the state dtype — see solvers/rtr.py. None
     # keeps a single precision level.
     rtr_inner_dtype: Optional[str] = None
+    # dtype of the Newton-Schulz Nesterov projections in mixed mode; None =
+    # the state dtype (recommended — see _round_body comment)
+    ns_projection_dtype: Optional[str] = None
     # preconditioner for the local solves: 'jacobi' (block-diagonal) or
     # 'tridiag' (cyclic-reduction factorization of the odometry band +
     # diagonal — Cholmod-class quality, see ops/block_tridiag.py)
@@ -489,11 +492,20 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
         return all_pub[pr.shared_nbr_robot, pr.shared_nbr_slot]
 
     # Nesterov aux-variable projection: exact batched SVD in full precision,
-    # or the SVD-free Newton-Schulz polar in reduced precision (mixed mode) —
-    # ~40x faster on TPU and avoids a batched-f32-SVD compiler crash.
+    # or the SVD-free Newton-Schulz polar (mixed mode) — much faster on TPU
+    # and avoids a batched-f32-SVD compiler crash. The NS projection runs in
+    # the STATE dtype (f64) by default even when the tCG inner loops are f32:
+    # it feeds Y and V — the iterate itself — and projecting in f32
+    # contaminates the state every round, putting a floor of ~2e-2 on the
+    # reachable global gradient norm. NS in f64 is a handful of small batched
+    # einsums per round — negligible next to the solves. Set
+    # ns_projection_dtype='float32' to reproduce the old behavior.
     if cfg.rtr_inner_dtype:
-        _pdt = jnp.dtype(cfg.rtr_inner_dtype)
-        project = lambda M: lifted.project_lifted_ns(M.astype(_pdt)).astype(M.dtype)
+        if cfg.ns_projection_dtype:
+            _pdt = jnp.dtype(cfg.ns_projection_dtype)
+            project = lambda M: lifted.project_lifted_ns(M.astype(_pdt)).astype(M.dtype)
+        else:
+            project = lifted.project_lifted_ns
     else:
         project = lifted.project_lifted
 

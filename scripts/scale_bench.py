@@ -10,7 +10,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
@@ -47,10 +50,15 @@ def main():
     X0 = np.einsum("rd,nde->nre", Y_lift, T)
     state = spmd.initial_state(problem, X0, ranges)
 
+    mixed = jax.devices()[0].platform != "cpu"
     cfg = spmd.SPMDConfig(
         mode="all", acceleration=True, rtr_iterations=1,
         rtr_gradnorm_tol=1e-2 / (2 * np.sqrt(num_agents)),
+        rtr_inner_dtype="float32" if mixed else None,
+        adaptive_restart=True,
     )
+    print(f"band_offsets={problem.band_offsets} num_band={problem.num_band} "
+          f"mp_max={problem.priv_i.shape[1]}", file=sys.stderr)
     run = spmd.make_run_fn(problem, cfg, mesh=None)
     t0 = time.perf_counter()
     s1, m1, r1 = run(state, 1, 1e-9)
