@@ -36,6 +36,8 @@ class SyncRBCDResult:
     X: np.ndarray  # (n, r, d+1) assembled global solution
     num_weight_updates: int = 0
     terminated: bool = False
+    # per-agent final GNC weights of shared loop closures (robust runs)
+    shared_edge_weights: List[List[float]] = dataclasses.field(default_factory=list)
 
 
 def build_central_evaluation(measurements, num_poses: int, r: int):
@@ -219,4 +221,7 @@ def run_synchronous_rbcd(
         X=X_opt,
         num_weight_updates=agents[0].weight_update_count,
         terminated=agents[0].should_terminate(),
+        shared_edge_weights=[
+            [m.weight for m in a.pose_graph.shared_lcs] for a in agents
+        ],
     )
