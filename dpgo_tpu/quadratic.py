@@ -358,18 +358,32 @@ def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
     out = jnp.einsum("nrb,nbc->nrc", V, qd.diag)
     n, r, dh = V.shape
     if qd.band_E is not None:
-        # band lanes: edges (i, i+delta) lower to shifted dense batched
-        # matmuls — zero gather/scatter. pad+add instead of slice-update
-        # (slice-update + dot compositions inside loops trigger an XLA:TPU
-        # compile blowup, see docs/PERF.md)
-        for lane, delta in enumerate(qd.band_offsets):
-            if delta >= n:
-                continue
-            Eh = qd.band_E[lane, : n - delta]
-            contrib_j = jnp.einsum("nrb,nbc->nrc", V[: n - delta], Eh)
-            contrib_i = jnp.einsum("nrb,ncb->nrc", V[delta:], Eh)
-            out = out + jnp.pad(-contrib_j, ((delta, 0), (0, 0), (0, 0)))
-            out = out + jnp.pad(-contrib_i, ((0, delta), (0, 0), (0, 0)))
+        # Band lanes, fused across ALL offsets: lane l holds E blocks of
+        # edges (i, i + delta_l) at row i (zeros elsewhere). The op count is
+        # independent of the lane count — two batched einsums plus two
+        # structured gathers — because at small n the round is dispatch-
+        # bound, not bandwidth-bound (a per-lane Python loop emits ~5 ops
+        # per lane inside the tCG while_loop).
+        offs = jnp.asarray(qd.band_offsets, jnp.int32)  # (L,)
+        L = len(qd.band_offsets)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        # tail-side: out[i] -= sum_l V[i + delta_l] @ E[l, i]^T.
+        # Rows i >= n - delta_l have zero E blocks, so the clamped gather's
+        # garbage is annihilated.
+        up = jnp.minimum(iota[None, :] + offs[:, None], n - 1)  # (L, n)
+        Vs = V[up.reshape(-1)].reshape(L, n, r, dh)
+        out = out - jnp.einsum("lnrb,lncb->nrc", Vs, qd.band_E)
+        # head-side: out[j] -= sum_l (V @ E)[l, j - delta_l]; j - delta_l < 0
+        # gathers the appended zero row.
+        C = jnp.einsum("nrb,lnbc->lnrc", V, qd.band_E).reshape(L * n, r, dh)
+        C = jnp.concatenate([C, jnp.zeros((1, r, dh), C.dtype)])
+        down = iota[None, :] - offs[:, None]  # (L, n)
+        flat = jnp.where(
+            down >= 0,
+            jnp.arange(L, dtype=jnp.int32)[:, None] * n + down,
+            L * n,
+        )
+        out = out - jnp.sum(C[flat.reshape(-1)].reshape(L, n, r, dh), axis=0)
     m = qd.off_E.shape[0]
     if m == 0:
         return out

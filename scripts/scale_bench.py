@@ -44,7 +44,13 @@ def main():
     print(f"build problem: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    T = np.asarray(chordal_mod.chordal_initialization_arrays(edges, n=n))
+    # f32 CG on TPU: the f64 CG at 10k+ poses crashes the TPU worker
+    mixed_init = jax.devices()[0].platform != "cpu"
+    T = np.asarray(chordal_mod.chordal_initialization_arrays(
+        edges, n=n,
+        cg_dtype=jnp.float32 if mixed_init else None,
+        tol=1e-6 if mixed_init else 1e-10,
+    ))
     print(f"chordal init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
     X0 = np.einsum("rd,nde->nre", Y_lift, T)
