@@ -135,20 +135,16 @@ def run_distributed(meas, n):
         rtr_inner_dtype="float32" if mixed else None,
         adaptive_restart=True,
     )
-    run_fn = spmd.make_run_fn(problem, cfg, mesh=None)
-    s_warm, _, _ = run_fn(state0, 1, TOL)
+    # Two phases on TPU: inner-precision control matvecs for the bulk
+    # (~1.7x/round), full-precision control for the final stretch; chunked
+    # launches keep each XLA execution under the tunnel watchdog.
+    run_fn = spmd.make_two_phase_run_fn(problem, cfg, mesh=None)
+    s_warm = run_fn.warmup(state0)
     np.asarray(s_warm.X)
 
-    # Chunk the fused loop: single XLA executions that run for minutes get
-    # killed by the tunnel's watchdog, so bound each launch to 50 rounds.
     t0 = time.perf_counter()
-    state = state0
-    total_rounds = 0
-    gradnorm = float("inf")
-    while total_rounds < 900 and gradnorm >= TOL:
-        state, metrics, rounds = run_fn(state, 50, TOL)
-        total_rounds += int(rounds)
-        gradnorm = float(metrics.gradnorm)
+    state, metrics, total_rounds = run_fn(state0, 900, TOL)
+    gradnorm = float(metrics.gradnorm)
     np.asarray(state.X)
     elapsed = time.perf_counter() - t0
     return {
@@ -253,6 +249,7 @@ def run_city10000():
         mode="all", acceleration=True, rtr_iterations=1,
         rtr_gradnorm_tol=tol / (2 * np.sqrt(agents)),
         rtr_inner_dtype="float32" if mixed else None,
+        adaptive_restart=True,
     )
     run_fn = spmd.make_run_fn(problem, cfg, mesh=None)
     s_warm, _, _ = run_fn(state, 1, tol)

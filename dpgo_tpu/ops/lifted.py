@@ -170,6 +170,40 @@ def project_lifted_ns(X: jax.Array, num_iters: int = 16) -> jax.Array:
     return assemble(project_stiefel_ns(rotations(X), num_iters), translations(X))
 
 
+def project_stiefel_ns_mixed(
+    M: jax.Array, num_iters: int = 16, refine_iters: int = 2
+) -> jax.Array:
+    """Newton-Schulz polar with the bulk of the iteration in f32 and a short
+    full-precision polish.
+
+    f64 emulation of tiny-matmul chains on TPU is pathological (~30x f32 for
+    this kernel at 10k poses), but NS converges quadratically and its fixed
+    points are exactly the orthonormal matrices: running 16 iterations in
+    f32 lands ~3e-7 from the polar factor, and 2 refinement iterations in
+    the input dtype drive orthonormality to ~1e-14 while staying within the
+    f32 path's ~1e-7 of the true polar. Full-precision orthonormality is
+    what matters downstream — f32-orthonormal Nesterov iterates floor the
+    reachable global gradient norm at ~2e-2 (see parallel/spmd.py)."""
+    if M.dtype == jnp.float32:
+        return project_stiefel_ns(M, num_iters)
+    Y = project_stiefel_ns(M.astype(jnp.float32), num_iters).astype(M.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    for _ in range(refine_iters):
+        YtY = jnp.einsum("...ra,...rb->...ab", Y, Y, precision=hi)
+        Y = 1.5 * Y - 0.5 * jnp.einsum("...ra,...ab->...rb", Y, YtY, precision=hi)
+    return Y
+
+
+def project_lifted_ns_mixed(
+    X: jax.Array, num_iters: int = 16, refine_iters: int = 2
+) -> jax.Array:
+    """project_lifted with the mixed-precision Newton-Schulz polar."""
+    return assemble(
+        project_stiefel_ns_mixed(rotations(X), num_iters, refine_iters),
+        translations(X),
+    )
+
+
 def random_stiefel(key: jax.Array, r: int, d: int, dtype=jnp.float64) -> jax.Array:
     """Random point on St(d, r): qf of a standard Gaussian."""
     return _qf(jax.random.normal(key, (r, d), dtype))

@@ -160,8 +160,23 @@ class SPMDConfig:
     # keeps a single precision level.
     rtr_inner_dtype: Optional[str] = None
     # dtype of the Newton-Schulz Nesterov projections in mixed mode; None =
-    # the state dtype (recommended — see _round_body comment)
+    # mixed f32 bulk + full-precision polish (recommended — see _round_body)
     ns_projection_dtype: Optional[str] = None
+    # in mixed mode, recompute H(eta) in full precision for the trust-region
+    # model decrease (see solvers/rtr.py). The inner-precision H(eta) is
+    # accurate to f32 RELATIVE error — sufficient for the rho thresholds —
+    # so the default skips one full-precision matvec per round.
+    rtr_exact_inner_hessian: bool = False
+    # in mixed mode, run the trust-region control matvecs (initial cost/
+    # gradient, post-step cost/gradient) in inner precision (HIGHEST, i.e.
+    # true f32) too, with the actual decrease computed via the
+    # cancellation-free difference identity (see solvers/rtr.py). Removes
+    # ALL full-precision matvecs from the round (~1.7x per-round at 10k+
+    # poses), but the f32-computed gradient floors the reachable global
+    # gradnorm around ~2e-2 — use for the bulk of the run and hand off to a
+    # rtr_inner_control_matvecs=False program for the final stretch
+    # (make_two_phase_run_fn does exactly this).
+    rtr_inner_control_matvecs: bool = False
     # preconditioner for the local solves: 'jacobi' (block-diagonal) or
     # 'tridiag' (cyclic-reduction factorization of the odometry band +
     # diagonal — Cholmod-class quality, see ops/block_tridiag.py)
@@ -438,6 +453,8 @@ def _agent_round(
         max_inner=cfg.rtr_tcg_iterations,
         shrink_until_accept=(cfg.rtr_iterations == 1),
         inner_dtype=jnp.dtype(cfg.rtr_inner_dtype) if cfg.rtr_inner_dtype else None,
+        exact_inner_hessian=cfg.rtr_exact_inner_hessian,
+        inner_control_matvecs=cfg.rtr_inner_control_matvecs,
     )
     X_new = jnp.where(do_opt, Xopt, X0)
     outgoing_only = a_shared[5].astype(X0.dtype)
@@ -493,19 +510,23 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
 
     # Nesterov aux-variable projection: exact batched SVD in full precision,
     # or the SVD-free Newton-Schulz polar (mixed mode) — much faster on TPU
-    # and avoids a batched-f32-SVD compiler crash. The NS projection runs in
-    # the STATE dtype (f64) by default even when the tCG inner loops are f32:
-    # it feeds Y and V — the iterate itself — and projecting in f32
-    # contaminates the state every round, putting a floor of ~2e-2 on the
-    # reachable global gradient norm. NS in f64 is a handful of small batched
-    # einsums per round — negligible next to the solves. Set
-    # ns_projection_dtype='float32' to reproduce the old behavior.
+    # and avoids a batched-f32-SVD compiler crash. The projected Y/V feed the
+    # iterate itself, so full-precision ORTHONORMALITY is required — pure-f32
+    # projections floor the reachable global gradient norm at ~2e-2. The
+    # default runs the NS bulk in f32 with a 2-step full-precision polish
+    # (ops/lifted.py project_stiefel_ns_mixed — f64 emulation of the whole
+    # 16-iteration chain costs ~30x f32 on TPU). Set
+    # ns_projection_dtype='float32' for the pure-f32 kernel, or 'float64'
+    # for the full-precision chain.
     if cfg.rtr_inner_dtype:
-        if cfg.ns_projection_dtype:
-            _pdt = jnp.dtype(cfg.ns_projection_dtype)
-            project = lambda M: lifted.project_lifted_ns(M.astype(_pdt)).astype(M.dtype)
-        else:
+        if cfg.ns_projection_dtype == "float32":
+            project = lambda M: lifted.project_lifted_ns(
+                M.astype(jnp.float32)
+            ).astype(M.dtype)
+        elif cfg.ns_projection_dtype in ("float64", "full"):
             project = lifted.project_lifted_ns
+        else:
+            project = lifted.project_lifted_ns_mixed
     else:
         project = lifted.project_lifted
 
@@ -896,6 +917,63 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
         pr_dev = jax.tree.map(lambda x: jax.device_put(x, sharding), problem)
         return _run(pr_dev, state, max_rounds, tol, rel_tol)
 
+    return run
+
+
+def make_two_phase_run_fn(
+    problem: SPMDProblem,
+    cfg: SPMDConfig,
+    mesh: Optional[Mesh] = None,
+    switch_factor: float = 4.0,
+    chunk: int = 50,
+):
+    """Chunked run-to-tolerance driver with a fast/exact phase split for
+    mixed precision: rounds run with inner-precision control matvecs
+    (rtr_inner_control_matvecs=True, ~1.7x faster per round) until the
+    global gradient norm drops below switch_factor * tol, then a program
+    with full-precision control finishes the tail (the f32-computed
+    gradient floors the reachable gradnorm around ~2e-2).
+
+    Also serves as the watchdog-safe launcher: each XLA execution is bounded
+    to `chunk` rounds (long-running single executions get killed by the
+    remote-compile tunnel). Returns run(state, max_rounds, tol) ->
+    (state, metrics, total_rounds). With a non-mixed cfg this degrades to a
+    single-program chunked loop.
+    """
+    if cfg.rtr_inner_dtype is None:
+        fns = [(make_run_fn(problem, cfg, mesh), 1.0)]
+    else:
+        cfg_fast = dataclasses.replace(cfg, rtr_inner_control_matvecs=True)
+        cfg_tail = dataclasses.replace(cfg, rtr_inner_control_matvecs=False)
+        fns = [
+            (make_run_fn(problem, cfg_fast, mesh), switch_factor),
+            (make_run_fn(problem, cfg_tail, mesh), 1.0),
+        ]
+
+    def run(state, max_rounds, tol, problem=problem):
+        total = 0
+        gradnorm = float("inf")
+        metrics = None
+        while total < max_rounds and gradnorm >= tol:
+            fn, factor = next(
+                (f, fac) for f, fac in fns if gradnorm >= fac * tol or fac == 1.0
+            )
+            state, metrics, rounds = fn(
+                state, min(chunk, max_rounds - total), factor * tol,
+                problem=problem,
+            )
+            total += int(rounds)
+            gradnorm = float(metrics.gradnorm)
+        return state, metrics, total
+
+    def warmup(state):
+        """Compile-and-run one round of every phase program."""
+        out = state
+        for fn, _ in fns:
+            out, _, _ = fn(state, 1, 0.0)
+        return out
+
+    run.warmup = warmup
     return run
 
 

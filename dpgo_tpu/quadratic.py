@@ -345,17 +345,24 @@ def build_linear_term(
 # Operator evaluations (reference: QuadraticProblem.cpp:29-83)
 # ---------------------------------------------------------------------------
 
-def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
+def q_matvec(qd: QuadraticData, V: jax.Array, precision=None) -> jax.Array:
     """(V Q) in block form: out_j = sum_i V_i Q_ij. V: (n, r, dh).
 
     Gathers/scatters run on flattened (n, r*dh) rows: TPU gather/scatter of
     tiny (r, dh) blocks is ~2.5x slower than of contiguous vectors of the
     same byte count (measured at 100k poses / 255k edges).
 
+    precision: matmul precision for the einsums. None (default) lets TPU f32
+    matmuls run as fast bf16 passes — fine inside the trust-region-bounded
+    tCG; pass jax.lax.Precision.HIGHEST for true-f32 results (needed when an
+    f32 matvec supplies the GRADIENT in mixed-precision control, see
+    solvers/rtr.py).
+
     When CSR plans are attached (attach_csr_plans) and V is f32, the two
     scatter-adds run through the Pallas CSR segment-sum kernel instead of
     XLA scatter (2.3x at 255k edges)."""
-    out = jnp.einsum("nrb,nbc->nrc", V, qd.diag)
+    pr_ = precision
+    out = jnp.einsum("nrb,nbc->nrc", V, qd.diag, precision=pr_)
     n, r, dh = V.shape
     if qd.band_E is not None:
         # Band lanes, fused across ALL offsets: lane l holds E blocks of
@@ -372,10 +379,10 @@ def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
         # garbage is annihilated.
         up = jnp.minimum(iota[None, :] + offs[:, None], n - 1)  # (L, n)
         Vs = V[up.reshape(-1)].reshape(L, n, r, dh)
-        out = out - jnp.einsum("lnrb,lncb->nrc", Vs, qd.band_E)
+        out = out - jnp.einsum("lnrb,lncb->nrc", Vs, qd.band_E, precision=pr_)
         # head-side: out[j] -= sum_l (V @ E)[l, j - delta_l]; j - delta_l < 0
         # gathers the appended zero row.
-        C = jnp.einsum("nrb,lnbc->lnrc", V, qd.band_E).reshape(L * n, r, dh)
+        C = jnp.einsum("nrb,lnbc->lnrc", V, qd.band_E, precision=pr_).reshape(L * n, r, dh)
         C = jnp.concatenate([C, jnp.zeros((1, r, dh), C.dtype)])
         down = iota[None, :] - offs[:, None]  # (L, n)
         flat = jnp.where(
@@ -393,10 +400,12 @@ def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
 
         csr = qd.csr
         ci = jnp.einsum(
-            "mrb,mbc->mrc", Vf[csr.src_by_j].reshape(m, r, dh), csr.E_by_j
+            "mrb,mbc->mrc", Vf[csr.src_by_j].reshape(m, r, dh), csr.E_by_j,
+            precision=pr_,
         ).reshape(m, r * dh)
         cj = jnp.einsum(
-            "mrb,mcb->mrc", Vf[csr.dst_by_i].reshape(m, r, dh), csr.E_by_i
+            "mrb,mcb->mrc", Vf[csr.dst_by_i].reshape(m, r, dh), csr.E_by_i,
+            precision=pr_,
         ).reshape(m, r * dh)
         outf = out.reshape(n, r * dh)
         outf = outf - _ps.segment_sum_csr(ci, csr.plan_j)
@@ -404,8 +413,8 @@ def q_matvec(qd: QuadraticData, V: jax.Array) -> jax.Array:
         return outf.reshape(n, r, dh)
     Vi = Vf[qd.off_i].reshape(m, r, dh)
     Vj = Vf[qd.off_j].reshape(m, r, dh)
-    ci = jnp.einsum("mrb,mbc->mrc", Vi, qd.off_E).reshape(m, r * dh)
-    cj = jnp.einsum("mrb,mcb->mrc", Vj, qd.off_E).reshape(m, r * dh)
+    ci = jnp.einsum("mrb,mbc->mrc", Vi, qd.off_E, precision=pr_).reshape(m, r * dh)
+    cj = jnp.einsum("mrb,mcb->mrc", Vj, qd.off_E, precision=pr_).reshape(m, r * dh)
     outf = out.reshape(n, r * dh)
     outf = outf.at[qd.off_j].add(-ci)
     outf = outf.at[qd.off_i].add(-cj)

@@ -148,17 +148,25 @@ def _tcg(
 
 
 def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only: bool,
-                   qd_inner=None):
+                   qd_inner=None, exact_inner_hessian: bool = True,
+                   inner_control_matvecs: bool = False):
     """One outer RTR iteration: tCG, rho test, radius update.
 
     qd_inner: optionally a lower-precision copy of qd (mixed precision): the
     tCG inner loop — the hot path — runs in qd_inner's dtype while the
     trust-region control (cost, gradient, rho, retraction) stays in the outer
-    dtype. The returned step is re-evaluated against the outer-precision
-    Hessian for the model decrease, so acceptance decisions keep full
-    precision. (The reference is f64 throughout; on TPU f64 is emulated at
-    ~7x the cost of f32, and the tCG tolerates reduced precision because the
-    trust region bounds any step-quality loss.)
+    dtype. (The reference is f64 throughout; on TPU f64 is emulated at ~7x
+    the cost of f32 — worse for gather/tiny-matmul chains — and the tCG
+    tolerates reduced precision because the trust region bounds any
+    step-quality loss.)
+
+    exact_inner_hessian: with mixed precision, recompute H(eta) in outer
+    precision for the model decrease. The inner-precision H(eta) already
+    gives the model decrease to f32 RELATIVE accuracy (no catastrophic
+    cancellation: it is -(<g,eta> + 0.5<eta,Heta>) with same-order terms),
+    which the 0.1/0.25/0.75 rho thresholds tolerate — so False skips one
+    full-precision matvec per outer iteration. The actual-vs-predicted
+    numerator (fx - f_new) stays in outer precision either way.
     """
     if qd_inner is not None:
         dt = qd_inner.diag.dtype
@@ -170,19 +178,48 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
             state.radius.astype(dt),
             max_inner,
         )
-        eta = tcg.eta.astype(state.X.dtype)
-        # ensure tangency in outer precision and recompute H(eta) exactly
-        eta = lifted.proj_tangent(state.X, eta)
-        Heta = quadratic.rie_hess_vec(qd, state.X, state.S, eta)
+        eta = lifted.proj_tangent(state.X, tcg.eta.astype(state.X.dtype))
+        if exact_inner_hessian:
+            Heta = quadratic.rie_hess_vec(qd, state.X, state.S, eta)
+        else:
+            Heta = tcg.Heta.astype(state.X.dtype)
         tcg = TCGResult(eta=eta, Heta=Heta, hit_boundary=tcg.hit_boundary,
                         num_iters=tcg.num_iters)
     else:
         tcg = _tcg(qd, state.X, state.S, state.grad, state.radius, max_inner)
     X_new = lifted.retract(state.X, tcg.eta)
-    # one matvec serves both the new cost and the new Euclidean gradient:
-    # f = 0.5 <XQ, X> + <X, G>,  eg = XQ + G
-    qm_new = quadratic.q_matvec(qd, X_new)
-    f_new = 0.5 * jnp.vdot(qm_new, X_new) + jnp.vdot(X_new, qd.G)
+    if qd_inner is not None and inner_control_matvecs:
+        # Cancellation-free actual decrease WITHOUT a full-precision matvec:
+        # for the quadratic objective,
+        #   f(X') - f(X) = 0.5 <(X + X') Q, X' - X> + <X' - X, G>.
+        # The matvec runs in inner precision — its relative error is
+        # contracted against the SMALL step difference D = X' - X, so the
+        # decrease comes out to ~|XQ|*|D|*eps_inner absolute (f32: ~1e-9 at
+        # unit scale) while a direct f(X') - f(X) subtraction would lose all
+        # significant digits near convergence. The contractions and G stay
+        # in outer precision.
+        dt = qd_inner.diag.dtype
+        hi = jax.lax.Precision.HIGHEST
+        D = X_new - state.X
+        # HIGHEST precision: these matvecs feed control decisions directly;
+        # the TPU's default bf16 matmul passes (~1e-2 relative) are fine
+        # inside the trust-region-bounded tCG but derail the gradient.
+        qs = quadratic.q_matvec(
+            qd_inner, (state.X + X_new).astype(dt), precision=hi
+        ).astype(state.X.dtype)
+        df = 0.5 * jnp.vdot(qs, D) + jnp.vdot(D, qd.G)  # f(X_new) - f(X)
+        f_new = state.fx + df
+        # new Euclidean gradient from an inner-precision matvec: it feeds
+        # only absolute-tolerance checks (gnorm), the next model decrease,
+        # and the Weingarten correction — all true-f32-relative-tolerant.
+        qm_new = quadratic.q_matvec(
+            qd_inner, X_new.astype(dt), precision=hi
+        ).astype(state.X.dtype)
+    else:
+        # one matvec serves both the new cost and the new Euclidean gradient:
+        # f = 0.5 <XQ, X> + <X, G>,  eg = XQ + G
+        qm_new = quadratic.q_matvec(qd, X_new)
+        f_new = 0.5 * jnp.vdot(qm_new, X_new) + jnp.vdot(X_new, qd.G)
 
     model_decrease = -(lifted.inner(state.grad, tcg.eta) + 0.5 * lifted.inner(tcg.eta, tcg.Heta))
     # small regularization guards rho against cancellation near convergence
@@ -228,9 +265,19 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
     )
 
 
-def _initial_state(qd, Y0, radius):
-    # one matvec for both cost and gradient (f = 0.5 <XQ,X> + <X,G>)
-    qm = quadratic.q_matvec(qd, Y0)
+def _initial_state(qd, Y0, radius, qd_inner=None, inner_control_matvecs=False):
+    # one matvec for both cost and gradient (f = 0.5 <XQ,X> + <X,G>). With
+    # inner control matvecs the initial cost/gradient run in inner precision:
+    # fx only anchors the running decrease (differences are computed
+    # cancellation-free, see _rtr_iteration) and the gradient feeds
+    # absolute-tolerance checks.
+    if qd_inner is not None and inner_control_matvecs:
+        dt = qd_inner.diag.dtype
+        qm = quadratic.q_matvec(
+            qd_inner, Y0.astype(dt), precision=jax.lax.Precision.HIGHEST
+        ).astype(Y0.dtype)
+    else:
+        qm = quadratic.q_matvec(qd, Y0)
     eg = qm + qd.G
     grad = lifted.proj_tangent(Y0, eg)
     return RTRState(
@@ -249,7 +296,8 @@ def _initial_state(qd, Y0, radius):
 @partial(
     jax.jit,
     static_argnames=("max_iterations", "max_inner", "shrink_until_accept",
-                     "inner_dtype"),
+                     "inner_dtype", "exact_inner_hessian",
+                     "inner_control_matvecs"),
 )
 def rtr_solve(
     qd: QuadraticData,
@@ -260,6 +308,8 @@ def rtr_solve(
     max_inner: int = 50,
     shrink_until_accept: bool = False,
     inner_dtype=None,
+    exact_inner_hessian: bool = True,
+    inner_control_matvecs: bool = False,
 ) -> Tuple[jax.Array, RTRStats]:
     """Riemannian trust-region solve of the lifted PGO quadratic.
 
@@ -276,7 +326,8 @@ def rtr_solve(
     if inner_dtype is not None and inner_dtype != Y0.dtype:
         cast = lambda x: x.astype(inner_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
         qd_inner = jax.tree.map(cast, qd)
-    state0 = _initial_state(qd, Y0, initial_radius)
+    state0 = _initial_state(qd, Y0, initial_radius, qd_inner,
+                            inner_control_matvecs)
     f_init, g_init = state0.fx, state0.gnorm
     # No optimization if gradient is already below threshold
     # (QuadraticOptimizer.cpp:56-58).
@@ -292,7 +343,9 @@ def rtr_solve(
         def body(c):
             state, attempts = c
             nxt = _rtr_iteration(qd, state, max_inner, max_radius=state.radius,
-                                 shrink_only=True, qd_inner=qd_inner)
+                                 shrink_only=True, qd_inner=qd_inner,
+                                 exact_inner_hessian=exact_inner_hessian,
+                                 inner_control_matvecs=inner_control_matvecs)
             # on rejection: keep the original iterate, shrink the radius by 4
             nxt = nxt._replace(
                 radius=jnp.where(nxt.accepted, nxt.radius, 0.25 * state.radius)
@@ -312,7 +365,9 @@ def rtr_solve(
 
         def body(state):
             return _rtr_iteration(qd, state, max_inner, max_radius,
-                                  shrink_only=False, qd_inner=qd_inner)
+                                  shrink_only=False, qd_inner=qd_inner,
+                                  exact_inner_hessian=exact_inner_hessian,
+                                  inner_control_matvecs=inner_control_matvecs)
 
         final = jax.lax.while_loop(cond, body, state0)
 

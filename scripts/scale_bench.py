@@ -62,6 +62,9 @@ def main():
         rtr_gradnorm_tol=1e-2 / (2 * np.sqrt(num_agents)),
         rtr_inner_dtype="float32" if mixed else None,
         adaptive_restart=True,
+        # throughput phase configuration (the tail hand-off to exact control
+        # is the two-phase driver's job; see spmd.make_two_phase_run_fn)
+        rtr_inner_control_matvecs=mixed,
     )
     print(f"band_offsets={problem.band_offsets} num_band={problem.num_band} "
           f"mp_max={problem.priv_i.shape[1]}", file=sys.stderr)

@@ -57,6 +57,32 @@ def test_all_mode_converges_single_device(small_setup):
     assert gnorm_c < 0.2  # gradnorm metric is measured at round start
 
 
+def test_mixed_precision_spmd_converges(small_setup):
+    """The full TPU mixed-precision configuration (f32 tCG inner loops,
+    mixed Newton-Schulz projections, inner-precision control matvecs with
+    the cancellation-free decrease identity, adaptive restart) reaches the
+    same tolerance and cost as the f64 path."""
+    meas, n, problem, ranges, state, qd_central = small_setup
+    cfg = spmd.SPMDConfig(
+        mode="all", acceleration=True, rtr_iterations=1,
+        rtr_gradnorm_tol=1e-2 / (2 * np.sqrt(problem.num_agents)),
+        rtr_inner_dtype="float32",
+        adaptive_restart=True,
+    )
+    # the two-phase driver covers BOTH control-matvec variants
+    run = spmd.make_two_phase_run_fn(problem, cfg, mesh=None)
+    state_out, metrics, rounds = run(state, 200, 1e-2)
+    assert float(metrics.gradnorm) < 1e-2
+    # cost agrees with the f64 configuration's converged value
+    cfg64 = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1,
+                            rtr_gradnorm_tol=1e-2 / (2 * np.sqrt(problem.num_agents)))
+    run64 = spmd.make_run_fn(problem, cfg64, mesh=None)
+    s64, m64, _ = run64(state, 200, 1e-2)
+    np.testing.assert_allclose(
+        float(metrics.cost), float(m64.cost), rtol=1e-5
+    )
+
+
 def test_accelerated_all_mode_converges(small_setup):
     meas, n, problem, ranges, state, qd_central = small_setup
     cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1)
