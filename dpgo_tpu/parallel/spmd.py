@@ -211,7 +211,20 @@ def build_spmd_problem(
     # q_matvec (zero gather/scatter). The offset set is static metadata under
     # vmap, so it must be uniform across agents: chosen from the pooled
     # offset histogram.
-    priv_lists = [odometry[a] + private_lcs[a] for a in range(num_agents)]
+    def normalize_direction(m):
+        # Flip backward private edges (p2 < p1) so their offset is positive
+        # and laneable: (i -> j, T) == (j -> i, T^-1) for the quadratic form.
+        if m.p2 >= m.p1:
+            return m
+        return dataclasses.replace(
+            m, r1=m.r2, r2=m.r1, p1=m.p2, p2=m.p1,
+            R=np.asarray(m.R).T, t=-(np.asarray(m.R).T @ np.asarray(m.t)),
+        )
+
+    priv_lists = [
+        [normalize_direction(m) for m in odometry[a] + private_lcs[a]]
+        for a in range(num_agents)
+    ]
     all_i = np.array([m.p1 for pl in priv_lists for m in pl], np.int64)
     all_j = np.array([m.p2 for pl in priv_lists for m in pl], np.int64)
     band_offsets = quadratic.choose_band_offsets(all_i, all_j, n_max)

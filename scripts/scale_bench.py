@@ -4,9 +4,20 @@
 Usage: python scripts/scale_bench.py [num_poses] [num_agents] [rounds] [dtype]
 Runs on whatever platform JAX selects (TPU under the driver; set
 JAX_PLATFORMS=cpu + unset PALLAS_AXON_POOL_IPS for the CPU baseline).
+
+Two scale-specific optimizations:
+* Pose relabeling to raster (lexicographic lattice) order: the synthetic
+  grid world's snake-path ids spread the lattice-neighbor offsets over ~s
+  distinct values; under raster labels they concentrate on {1, s, s^2}, so
+  nearly every edge gets a dense band lane (see quadratic.plan_bands).
+  Pose ids are arbitrary labels — this changes nothing about the problem.
+* On TPU the chordal initialization runs in a CPU subprocess: both the f64
+  CG (at 10k+) and a 100k-scale f32 CG followed by the main-program launch
+  have crashed the tunneled TPU worker.
 """
 
 import os
+import subprocess
 import sys
 import time
 
@@ -18,11 +29,30 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
+def _chordal_subprocess(num_poses: int, seed: int, out_path: str) -> None:
+    """Run the chordal initialization on CPU in a clean subprocess."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from dpgo_tpu.datasets import synthesize_grid3d\n"
+        "from dpgo_tpu.solvers import chordal as chordal_mod\n"
+        "edges, n, _ = synthesize_grid3d(%d, seed=%d)\n"
+        "T = np.asarray(chordal_mod.chordal_initialization_arrays(edges, n=n))\n"
+        "np.savez(%r, T=T)\n" % (_REPO, num_poses, seed, out_path)
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   timeout=3600)
+
+
 def main():
     num_poses = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     num_agents = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     dtype_s = sys.argv[4] if len(sys.argv) > 4 else "f64"
+    seed = 1
 
     import jax
     import jax.numpy as jnp
@@ -30,58 +60,121 @@ def main():
     from dpgo_tpu.datasets import synthesize_grid3d
     from dpgo_tpu.ops import lifted
     from dpgo_tpu.parallel import spmd
-    from dpgo_tpu.solvers import chordal as chordal_mod
 
     dtype = jnp.float64 if dtype_s == "f64" else jnp.float32
     t0 = time.perf_counter()
-    edges, n, T_true = synthesize_grid3d(num_poses, seed=1)
+    edges, n, T_true = synthesize_grid3d(num_poses, seed=seed)
     meas = edges.to_measurements()
     print(f"synthesize: {time.perf_counter()-t0:.1f}s, {edges.m} edges", file=sys.stderr)
 
+    # chordal initialization in the ORIGINAL (odometry-chain) labeling
     r = 5
+    on_tpu = jax.devices()[0].platform != "cpu"
+    t0 = time.perf_counter()
+    if on_tpu:
+        cache = f"/tmp/chordal_grid3d_{num_poses}_{seed}.npz"
+        if not os.path.exists(cache):
+            _chordal_subprocess(num_poses, seed, cache)
+        T = np.load(cache)["T"]
+    else:
+        from dpgo_tpu.solvers import chordal as chordal_mod
+
+        T = np.asarray(chordal_mod.chordal_initialization_arrays(edges, n=n))
+    print(f"chordal init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # relabel poses to raster order (coords are the ground-truth translations)
+    coords = np.asarray(T_true)[:, :, 3].round().astype(np.int64)
+    order = np.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
+    new_of_old = np.empty(n, np.int64)
+    new_of_old[order] = np.arange(n)
+    import dataclasses as _dc
+
+    meas = [
+        _dc.replace(m, p1=int(new_of_old[m.p1]), p2=int(new_of_old[m.p2]))
+        for m in meas
+    ]
+
     t0 = time.perf_counter()
     problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=num_agents, r=r, dtype=dtype)
     print(f"build problem: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    # f32 CG on TPU: the f64 CG at 10k+ poses crashes the TPU worker
-    mixed_init = jax.devices()[0].platform != "cpu"
-    T = np.asarray(chordal_mod.chordal_initialization_arrays(
-        edges, n=n,
-        cg_dtype=jnp.float32 if mixed_init else None,
-        tol=1e-6 if mixed_init else 1e-10,
-    ))
-    print(f"chordal init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
-    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)[order]
     state = spmd.initial_state(problem, X0, ranges)
 
-    mixed = jax.devices()[0].platform != "cpu"
     cfg = spmd.SPMDConfig(
         mode="all", acceleration=True, rtr_iterations=1,
         rtr_gradnorm_tol=1e-2 / (2 * np.sqrt(num_agents)),
-        rtr_inner_dtype="float32" if mixed else None,
+        rtr_inner_dtype="float32" if on_tpu else None,
         adaptive_restart=True,
         # throughput phase configuration (the tail hand-off to exact control
         # is the two-phase driver's job; see spmd.make_two_phase_run_fn)
-        rtr_inner_control_matvecs=mixed,
+        rtr_inner_control_matvecs=on_tpu,
     )
+    lane_cover = float(np.mean(
+        np.isin(np.asarray(problem.priv_j) - np.asarray(problem.priv_i),
+                np.asarray(problem.band_offsets))
+        [np.asarray(problem.priv_weight) > 0]
+    )) if len(problem.band_offsets) else 0.0
     print(f"band_offsets={problem.band_offsets} num_band={problem.num_band} "
-          f"mp_max={problem.priv_i.shape[1]}", file=sys.stderr)
+          f"mp_max={problem.priv_i.shape[1]} lane_coverage={lane_cover:.2f}",
+          file=sys.stderr)
     run = spmd.make_run_fn(problem, cfg, mesh=None)
+
+    # Single-execution mode: at 100k scale the tunnel's TPU worker reliably
+    # crashes on the SECOND execution of this program (first executions —
+    # of any length under the watchdog — always succeed, and remote compiles
+    # bypass the persistent cache). Run `rounds` rounds as this process's
+    # one and only execution and report the raw wall time (compile
+    # included); timing two invocations with different round counts and
+    # differencing cancels the compile time.
+    if os.environ.get("DPGO_SCALE_SINGLE_EXEC") == "1":
+        t0 = time.perf_counter()
+        s2, m2, r2 = run(state, rounds, 1e-9)
+        jax.block_until_ready(s2.X)
+        dt = time.perf_counter() - t0
+        print(
+            f"SINGLE_EXEC platform={jax.devices()[0].platform} n={num_poses} "
+            f"agents={num_agents} rounds={int(r2)} compile+run_s={dt:.2f} "
+            f"gradnorm={float(m2.gradnorm):.4f} cost={float(m2.cost):.1f}"
+        )
+        return
+
     t0 = time.perf_counter()
     s1, m1, r1 = run(state, 1, 1e-9)
     jax.block_until_ready(s1.X)
     print(f"compile+1round: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    # chunked launches: single XLA executions > ~1 min get killed by the
+    # tunnel watchdog (at 100k a round is ~1-3 s). The tunnel worker also
+    # crashes sporadically under sustained 100k-scale load and recovers in
+    # ~1 min — retry the chunk (compiled executables survive in the cache;
+    # the retry replays from the last materialized state).
+    chunk = max(1, min(rounds, 5 if num_poses >= 50_000 else 20))
     t0 = time.perf_counter()
-    s2, m2, r2 = run(state, rounds, 1e-9)
+    s2, total = state, 0
+    s2_host = None
+    failures = 0
+    while total < rounds:
+        try:
+            nxt, m2, r2 = run(s2, min(chunk, rounds - total), 1e-9)
+            s2_host = jax.tree.map(np.asarray, nxt)  # materialize: checkpoint
+            s2 = nxt
+            total += int(r2)
+        except Exception as e:  # worker crash: recover and replay the chunk
+            failures += 1
+            if failures > 6:
+                raise
+            print(f"chunk failed ({type(e).__name__}); retrying after recovery",
+                  file=sys.stderr)
+            time.sleep(75)
+            s2 = jax.tree.map(jnp.asarray, s2_host) if s2_host is not None else state
     jax.block_until_ready(s2.X)
     dt = time.perf_counter() - t0
     print(
         f"platform={jax.devices()[0].platform} dtype={dtype_s} n={num_poses} "
-        f"agents={num_agents}: {int(r2)} rounds in {dt:.2f}s = "
-        f"{int(r2)/dt:.2f} rounds/s | gradnorm={float(m2.gradnorm):.4f} "
+        f"agents={num_agents}: {total} rounds in {dt:.2f}s = "
+        f"{total/dt:.2f} rounds/s | gradnorm={float(m2.gradnorm):.4f} "
         f"cost={float(m2.cost):.1f}"
     )
 
