@@ -251,21 +251,26 @@ def run_city10000():
         rtr_inner_dtype="float32" if mixed else None,
         adaptive_restart=True,
     )
-    run_fn = spmd.make_run_fn(problem, cfg, mesh=None)
-    s_warm, _, _ = run_fn(state, 1, tol)
+    # two-phase mixed driver: the f32 phase's gradnorm floor scales with the
+    # problem's magnitudes and sits right at city10000's 0.1 tolerance
+    run_fn = spmd.make_two_phase_run_fn(problem, cfg, mesh=None)
+    s_warm = run_fn.warmup(state)
     np.asarray(s_warm.X)
     t0 = time.perf_counter()
-    rounds, g = 0, float("inf")
-    while rounds < 1000 and g >= tol:
-        state, metrics, rr = run_fn(state, 50, tol)
-        rounds += int(rr)
-        g = float(metrics.gradnorm)
+    # rel-change termination (the reference's readyToTerminate gate uses
+    # maxTranslationDistance too, PGOAgent.cpp:402-421): on city10000 the
+    # RBCD gradnorm tail is long — the team stops once poses stop moving.
+    # Tighter than the reference's 5e-3 agent default: with a chordal init
+    # the per-round translation movement is small from the start.
+    state, metrics, rounds = run_fn(state, 1000, tol, rel_tol=1e-4)
+    g = float(metrics.gradnorm)
     np.asarray(state.X)
     return {
         "elapsed_s": round(time.perf_counter() - t0, 2),
         "rounds": rounds,
         "gradnorm": round(g, 5),
         "cost": round(float(metrics.cost), 3),
+        "max_rel_change": round(float(metrics.max_rel_change), 6),
     }
 
 

@@ -963,20 +963,34 @@ def make_two_phase_run_fn(
             (make_run_fn(problem, cfg_tail, mesh), 1.0),
         ]
 
-    def run(state, max_rounds, tol, problem=problem):
+    def run(state, max_rounds, tol, problem=problem, rel_tol=0.0):
         total = 0
         gradnorm = float("inf")
         metrics = None
+        phase = 0
         while total < max_rounds and gradnorm >= tol:
-            fn, factor = next(
-                (f, fac) for f, fac in fns if gradnorm >= fac * tol or fac == 1.0
-            )
+            if phase < len(fns) - 1 and gradnorm < fns[phase][1] * tol:
+                phase += 1
+            fn, factor = fns[phase]
             state, metrics, rounds = fn(
                 state, min(chunk, max_rounds - total), factor * tol,
-                problem=problem,
+                problem=problem, rel_tol=rel_tol,
             )
             total += int(rounds)
-            gradnorm = float(metrics.gradnorm)
+            # team-wide relative-change termination (reference
+            # readyToTerminate semantics): the inner loop stopped early
+            if int(rounds) < chunk and float(metrics.gradnorm) >= factor * tol:
+                gradnorm = float(metrics.gradnorm)
+                break
+            g_new = float(metrics.gradnorm)
+            # stall escalation: the fast phase's reachable gradnorm floor
+            # scales with the problem's magnitudes and can sit above
+            # switch_factor * tol — if a full chunk barely moved the
+            # gradient norm, hand off to the next (exact) phase early
+            if (phase < len(fns) - 1 and int(rounds) >= chunk
+                    and g_new > 0.97 * gradnorm):
+                phase += 1
+            gradnorm = g_new
         return state, metrics, total
 
     def warmup(state):
