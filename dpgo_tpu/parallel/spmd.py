@@ -982,15 +982,7 @@ def make_two_phase_run_fn(
             if int(rounds) < chunk and float(metrics.gradnorm) >= factor * tol:
                 gradnorm = float(metrics.gradnorm)
                 break
-            g_new = float(metrics.gradnorm)
-            # stall escalation: the fast phase's reachable gradnorm floor
-            # scales with the problem's magnitudes and can sit above
-            # switch_factor * tol — if a full chunk barely moved the
-            # gradient norm, hand off to the next (exact) phase early
-            if (phase < len(fns) - 1 and int(rounds) >= chunk
-                    and g_new > 0.97 * gradnorm):
-                phase += 1
-            gradnorm = g_new
+            gradnorm = float(metrics.gradnorm)
         return state, metrics, total
 
     def warmup(state):
