@@ -62,7 +62,13 @@ _DATA_FIELDS = [
     "shared_outgoing", "shared_nbr_robot", "shared_nbr_slot",
     "shared_fixed_weight",
     "pub_idx", "pub_mask", "pose_mask",
+    "robot_active",
 ]
+
+# robot_active is (N,) — the whole team's membership vector, replicated on
+# every device (each device needs its NEIGHBORS' activity, not just its own
+# agents'); everything else is sharded along the agent axis.
+_REPLICATED_FIELDS = {"robot_active"}
 
 _META_FIELDS = ["num_agents", "n_max", "d", "r", "num_band", "band_offsets"]
 
@@ -111,10 +117,22 @@ class SPMDProblem:
     pub_idx: jax.Array  # (N, p_max) local frame ids
     pub_mask: jax.Array  # (N, p_max)
     pose_mask: jax.Array  # (N, n_max)
+    # elastic membership: (N,) bool, REPLICATED (not sharded) — reference:
+    # setRobotActive (PGOAgent.cpp:1173-1184). Inactive robots are frozen,
+    # their shared edges drop out of every Q/G/cost/gradient (PoseGraph.cpp:
+    # 418-430, 520-532), and they are skipped in selection, termination
+    # metrics, and GNC weight updates (PGOAgent.cpp:860-861, 1015-1016).
+    robot_active: jax.Array
 
     @property
     def dh(self) -> int:
         return self.d + 1
+
+    def with_robot_active(self, active) -> "SPMDProblem":
+        """Runtime membership change (pure array data: no recompilation)."""
+        return dataclasses.replace(
+            self, robot_active=jnp.asarray(active, bool)
+        )
 
 
 class SPMDState(NamedTuple):
@@ -135,8 +153,18 @@ class RoundMetrics(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class SPMDConfig:
-    mode: str = "all"  # 'all' | 'greedy' | 'uniform'
+    mode: str = "all"  # 'all' | 'greedy' | 'uniform' | 'async'
     acceleration: bool = True
+    # mode='async': semantic-async RBCD — each agent's Poisson clock fires
+    # within a round with probability 1 - exp(-async_rate) and only firing
+    # agents update (Poisson thinning of the RA-L 2020 asynchronous update
+    # model; SURVEY §7 hard part 4). This is the TPU-resident counterpart of
+    # the reference's per-agent host threads with Exp(rate) sleeps
+    # (PGOAgent.cpp:486-499): the round plays the role of a unit time slice,
+    # and updates within a round use round-start neighbor poses (bounded
+    # staleness, exactly the partially-asynchronous model the RA-L analysis
+    # covers). Acceleration is forbidden, as in the reference (:477).
+    async_rate: float = 0.7
     restart_interval: int = 30
     # Adaptive (function-scheme) restart on top of the periodic schedule:
     # restart whenever the global objective at X increased over the last round
@@ -177,10 +205,21 @@ class SPMDConfig:
     # rtr_inner_control_matvecs=False program for the final stretch
     # (make_two_phase_run_fn does exactly this).
     rtr_inner_control_matvecs: bool = False
+    # Residual-form trust-region control (quadratic.cost_grad_residual): the
+    # control gradient/cost are evaluated cancellation-free per edge, so the
+    # control dtype's eps applies to the RESIDUAL rather than to O(kappa·|X|)
+    # near-cancelling partial sums. With an f32 state this certifies
+    # f64-class gradient norms with zero f64 tensor kernels — the 100k-scale
+    # path. Implies inner-control-matvec semantics for the cost decrease.
+    rtr_residual_control: bool = False
     # preconditioner for the local solves: 'jacobi' (block-diagonal) or
     # 'tridiag' (cyclic-reduction factorization of the odometry band +
     # diagonal — Cholmod-class quality, see ops/block_tridiag.py)
     precond: str = "jacobi"
+    # elastic membership: keep using the last known (frozen) pose of an
+    # inactive neighbor instead of dropping its shared edges (reference:
+    # `useInactiveNeighbors`, PoseGraph.cpp:632-635)
+    use_inactive_neighbors: bool = False
     seed: int = 0
 
 
@@ -206,24 +245,15 @@ def build_spmd_problem(
     n_max = max(end - start for start, end in ranges)
     # Private-edge layout per agent: banded edges first (each assigned a
     # lane — offset delta = p2 - p1 drawn from a small team-wide offset set,
-    # odometry being offset 1), then the remaining loop closures. Banded
-    # edges' matvec contributions lower to shifted dense batched matmuls in
-    # q_matvec (zero gather/scatter). The offset set is static metadata under
-    # vmap, so it must be uniform across agents: chosen from the pooled
-    # offset histogram.
-    def normalize_direction(m):
-        # Flip backward private edges (p2 < p1) so their offset is positive
-        # and laneable: (i -> j, T) == (j -> i, T^-1) for the quadratic form.
-        if m.p2 >= m.p1:
-            return m
-        return dataclasses.replace(
-            m, r1=m.r2, r2=m.r1, p1=m.p2, p2=m.p1,
-            R=np.asarray(m.R).T, t=-(np.asarray(m.R).T @ np.asarray(m.t)),
-        )
-
+    # odometry being offset 1; backward edges keep their NEGATIVE offset and
+    # get their own lane — the lifted translation cost is not invariant under
+    # edge reversal, so edges are never flipped), then the remaining loop
+    # closures. Banded edges' matvec contributions lower to shifted dense
+    # batched matmuls in q_matvec (zero gather/scatter). The offset set is
+    # static metadata under vmap, so it must be uniform across agents: chosen
+    # from the pooled offset histogram.
     priv_lists = [
-        [normalize_direction(m) for m in odometry[a] + private_lcs[a]]
-        for a in range(num_agents)
+        odometry[a] + private_lcs[a] for a in range(num_agents)
     ]
     all_i = np.array([m.p1 for pl in priv_lists for m in pl], np.int64)
     all_j = np.array([m.p2 for pl in priv_lists for m in pl], np.int64)
@@ -340,6 +370,7 @@ def build_spmd_problem(
         shared_fixed_weight=jnp.asarray(S_fx),
         pub_idx=jnp.asarray(PUB), pub_mask=jnp.asarray(PUBM, dtype),
         pose_mask=jnp.asarray(POSM, dtype),
+        robot_active=jnp.ones((num_agents,), bool),
     )
     return problem, ranges
 
@@ -379,7 +410,7 @@ def initial_state(
 def _agent_local_problem(problem: SPMDProblem, a_priv, a_shared) -> quadratic.LocalProblem:
     """Assemble a LocalProblem for ONE agent from sliced arrays."""
     (pi, pj, pT, pk, pt, pw, pl) = a_priv
-    (sidx, sT, sk, st, sw, sout) = a_shared
+    (sidx, sT, sk, st, sw, sout, smask) = a_shared
     r = problem.r
     # The caller resolves neighbor poses per edge, so the LocalProblem's
     # neighbor buffer is indexed by edge position (identity slots).
@@ -393,11 +424,24 @@ def _agent_local_problem(problem: SPMDProblem, a_priv, a_shared) -> quadratic.Lo
         shared_kappa=sk, shared_tau=st, shared_weight=sw,
         shared_outgoing=sout,
         shared_nbr_slot=jnp.arange(ms, dtype=jnp.int32),
-        shared_mask=jnp.ones_like(sw),
+        shared_mask=smask,
         prior_idx=jnp.zeros((0,), jnp.int32),
         prior_pose=jnp.zeros((0, r, problem.dh), sT.dtype),
         prior_mask=jnp.zeros((0,), sT.dtype),
     )
+
+
+def _shared_activity_mask(problem_blk: SPMDProblem, cfg: "SPMDConfig"):
+    """(A, ms) float mask dropping shared edges whose NEIGHBOR robot is
+    inactive (reference: PoseGraph.cpp:418-430, 520-532). With
+    cfg.use_inactive_neighbors the last known (frozen) pose of an inactive
+    neighbor keeps being used instead (PoseGraph.cpp:632-635,
+    `useInactiveNeighbors`) — under SPMD the frozen pose is still present in
+    the all-gathered public buffer, so the edges simply stay on."""
+    dtype = problem_blk.shared_T.dtype
+    if cfg.use_inactive_neighbors:
+        return jnp.ones(problem_blk.shared_idx.shape, dtype)
+    return problem_blk.robot_active[problem_blk.shared_nbr_robot].astype(dtype)
 
 
 def _edge_cost_terms(X, nbr, lp: quadratic.LocalProblem, outgoing_only: jax.Array):
@@ -419,7 +463,7 @@ def _edge_cost_terms(X, nbr, lp: quadratic.LocalProblem, outgoing_only: jax.Arra
     rot = jnp.sum((Ri - nbr[..., :d]) ** 2, axis=(-2, -1))
     ti = Xi[..., :d] @ lp.shared_T[..., :d, d:] + Xi[..., d:]
     tr = jnp.sum((ti - nbr[..., d:]) ** 2, axis=(-2, -1))
-    w = lp.shared_weight * outgoing_only
+    w = lp.shared_weight * lp.shared_mask * outgoing_only
     c_shared = jnp.sum(w * (lp.shared_kappa * rot + lp.shared_tau * tr))
     return c_priv + c_shared
 
@@ -433,7 +477,8 @@ def _build_qd_static(problem: SPMDProblem, cfg: SPMDConfig):
     a_priv = (pr.priv_i, pr.priv_j, pr.priv_T, pr.priv_kappa, pr.priv_tau,
               pr.priv_weight, pr.priv_lane)
     a_shared = (pr.shared_idx, pr.shared_T, pr.shared_kappa, pr.shared_tau,
-                pr.shared_weight, pr.shared_outgoing)
+                pr.shared_weight, pr.shared_outgoing,
+                _shared_activity_mask(pr, cfg))
 
     def one(priv, shared):
         lp = _agent_local_problem(pr, priv, shared)
@@ -456,7 +501,11 @@ def _agent_round(
     contribution at X0)."""
     lp = _agent_local_problem(problem, a_priv, a_shared)
     G = quadratic.build_linear_term(lp, nbr_poses, r=problem.r)
-    qd = dataclasses.replace(qd_static, G=G)
+    res = (
+        quadratic.build_residual_data(lp, nbr_poses)
+        if cfg.rtr_residual_control else None
+    )
+    qd = dataclasses.replace(qd_static, G=G, res=res)
 
     Xopt, stats = rtr_mod.rtr_solve(
         qd, X0,
@@ -468,6 +517,7 @@ def _agent_round(
         inner_dtype=jnp.dtype(cfg.rtr_inner_dtype) if cfg.rtr_inner_dtype else None,
         exact_inner_hessian=cfg.rtr_exact_inner_hessian,
         inner_control_matvecs=cfg.rtr_inner_control_matvecs,
+        residual_control=cfg.rtr_residual_control,
     )
     X_new = jnp.where(do_opt, Xopt, X0)
     outgoing_only = a_shared[5].astype(X0.dtype)
@@ -492,6 +542,20 @@ def _psum(x, axis_name):
     return x if axis_name is None else jax.lax.psum(x, axis_name)
 
 
+def _device_put_problem(problem: SPMDProblem, mesh: Mesh) -> SPMDProblem:
+    """Lay out the problem on the mesh: agent-sharded data fields, replicated
+    membership vector."""
+    blk = NamedSharding(mesh, P("agents"))
+    rep = NamedSharding(mesh, P())
+    kwargs = {
+        f: jax.device_put(
+            getattr(problem, f), rep if f in _REPLICATED_FIELDS else blk
+        )
+        for f in _DATA_FIELDS
+    }
+    return dataclasses.replace(problem, **kwargs)
+
+
 def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
                 agent_offset, state_blk: SPMDState, sel: jax.Array,
                 qd_static=None):
@@ -512,10 +576,26 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
     a_priv = (pr.priv_i, pr.priv_j, pr.priv_T, pr.priv_kappa, pr.priv_tau,
               pr.priv_weight, pr.priv_lane)
     a_shared = (pr.shared_idx, pr.shared_T, pr.shared_kappa, pr.shared_tau,
-                pr.shared_weight, pr.shared_outgoing)
+                pr.shared_weight, pr.shared_outgoing,
+                _shared_activity_mask(pr, cfg))
 
     agent_ids = agent_offset + jnp.arange(A, dtype=jnp.int32)
-    do_opt = jnp.where(sel < 0, jnp.ones(A, bool), agent_ids == sel)
+    # this device's agents' activity: inactive robots never optimize and
+    # their blocks stay frozen (reference: PGOAgent.cpp:1173-1184)
+    active_blk = pr.robot_active[agent_ids]
+    if cfg.mode == "async":
+        # Poisson thinning: draw the whole team's firing mask from a
+        # round-indexed key (identical on every device — deterministic and
+        # mesh-consistent), then slice this device's agents.
+        p_fire = 1.0 - float(np.exp(-cfg.async_rate))
+        mask_all = jax.random.bernoulli(
+            jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state_blk.it),
+            p_fire, (N,),
+        )
+        do_opt = mask_all[agent_ids]
+    else:
+        do_opt = jnp.where(sel < 0, jnp.ones(A, bool), agent_ids == sel)
+    do_opt = jnp.logical_and(do_opt, active_blk)
 
     def resolve_nbr(all_pub):
         # (A, ms, r, dh) gather of each shared edge's neighbor pose
@@ -557,10 +637,13 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
     if cfg.acceleration:
         # Restart = the reference's restartNesterovAcceleration
         # (PGOAgent.cpp:887-897): revert to the round-start X, re-solve
-        # WITHOUT acceleration against the *plain* neighbor poses, then reset
-        # gamma/Y/V. Since the accelerated result of a restart round is fully
-        # discarded there, we skip it and run the plain solve directly — the
-        # post-round state is identical and one local solve is saved.
+        # WITHOUT acceleration, then reset gamma/Y/V. Since the accelerated
+        # result of a restart round is fully discarded there, we skip it and
+        # run the plain solve directly, saving one local solve. Small
+        # intentional protocol difference: the reference's restart re-solve
+        # consumes the aux (Y) neighbor poses received that iteration, while
+        # this round exchanges and solves against plain X poses (Y == X on
+        # restart rounds here).
         periodic = (state_blk.it + 1) % cfg.restart_interval == 0
         if cfg.adaptive_restart:
             restart = jnp.logical_or(periodic, state_blk.do_restart)
@@ -579,12 +662,16 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
         X_upd, gnorm_a, cost_a = jax.vmap(
             partial(_agent_round, problem_blk, cfg)
         )(qd_static, Y, a_priv, a_shared, nbr_aux, do_opt)
-        # non-optimizing agents take X <- Y (PGOAgent.cpp:943-947)
+        # non-optimizing agents take X <- Y (PGOAgent.cpp:943-947);
+        # INACTIVE agents stay exactly frozen
+        act = active_blk[:, None, None, None]
+        X_upd = jnp.where(act, X_upd, state_blk.X)
         V = jnp.where(
             restart, X_upd, project(state_blk.V + gamma * (X_upd - Y))
         )
+        V = jnp.where(act, V, state_blk.X)
         gamma = jnp.where(restart, 0.0, gamma)
-        Y_out = jnp.where(restart, X_upd, Y)
+        Y_out = jnp.where(act, jnp.where(restart, X_upd, Y), state_blk.X)
         if cfg.adaptive_restart:
             # function-scheme adaptive restart: request a restart next round
             # whenever the objective at the new X increased over the last one
@@ -608,12 +695,20 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
         X_upd, gnorm_a, cost_a = jax.vmap(
             partial(_agent_round, problem_blk, cfg)
         )(qd_static, state_blk.X, a_priv, a_shared, nbr, do_opt)
+        X_upd = jnp.where(active_blk[:, None, None, None], X_upd, state_blk.X)
         new_state = SPMDState(
             X=X_upd, Y=X_upd, V=X_upd,
             gamma=state_blk.gamma, it=state_blk.it + 1,
             cost_X=state_blk.cost_X, do_restart=jnp.asarray(False),
         )
 
+    # inactive robots are excluded from every team metric (reference:
+    # shouldTerminate and statistics() skip inactive robots,
+    # PGOAgent.cpp:860-861, PoseGraph.cpp:320-327); their shared edges are
+    # already masked out of cost/gradient via _shared_activity_mask
+    act_f = active_blk.astype(dtype)
+    gnorm_a = gnorm_a * act_f
+    cost_a = cost_a * act_f
     rel = jax.vmap(lifted.max_translation_distance)(new_state.X, state_blk.X)
     metrics = RoundMetrics(
         cost=_psum(jnp.sum(cost_a), axis_name),
@@ -640,6 +735,16 @@ def _select_next(gnorm_all: jax.Array, cfg: SPMDConfig, it, key):
 # Drivers
 # ---------------------------------------------------------------------------
 
+def _validate_cfg(cfg: SPMDConfig) -> None:
+    if cfg.mode not in ("all", "greedy", "uniform", "async"):
+        raise ValueError(f"unknown SPMD mode {cfg.mode!r}")
+    if cfg.mode == "async" and cfg.acceleration:
+        # the reference forbids acceleration in asynchronous mode
+        # (PGOAgent.cpp:477) — the Nesterov recursions assume synchronized
+        # global round counters
+        raise ValueError("acceleration is not supported in async mode")
+
+
 def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = None):
     """Build the jitted one-round step: state -> (state, metrics).
 
@@ -647,6 +752,7 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
     the round runs under shard_map ('agents' collectives over ICI). Without a
     mesh, the same math runs as a single-device batched program.
     """
+    _validate_cfg(cfg)
     N = problem.num_agents
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -686,7 +792,8 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
     problem_specs = SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
         num_band=problem.num_band, band_offsets=problem.band_offsets,
-        **{f: blk_spec for f in _DATA_FIELDS},
+        **{f: (rep if f in _REPLICATED_FIELDS else blk_spec)
+           for f in _DATA_FIELDS},
     )
     fn = jax.shard_map(
         sharded_step,
@@ -696,12 +803,7 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
         check_vma=False,
     )
 
-    sharding = NamedSharding(mesh, blk_spec)
-    problem_dev = jax.tree.map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
-        problem,
-        is_leaf=lambda x: hasattr(x, "shape"),
-    )
+    problem_dev = _device_put_problem(problem, mesh)
 
     @jax.jit
     def step(state: SPMDState, sel: jax.Array):
@@ -761,8 +863,14 @@ def gnc_reweight(problem: SPMDProblem, state: SPMDState, barc_sq, mu) -> SPMDPro
     new_priv_w = jnp.where(
         problem.priv_fixed_weight, problem.priv_weight, _w(r_sq_priv, barc_sq, mu)
     )
+    # shared edges to an INACTIVE neighbor keep their last weight — the
+    # reference skips inactive robots in weight updates (PGOAgent.cpp:
+    # 1015-1016); their cached pose may be stale, so the residual is not
+    # trustworthy
+    nbr_inactive = ~problem.robot_active[problem.shared_nbr_robot]
     new_shared_w = jnp.where(
-        problem.shared_fixed_weight, problem.shared_weight, _w(r_sq_shared, barc_sq, mu)
+        problem.shared_fixed_weight | nbr_inactive,
+        problem.shared_weight, _w(r_sq_shared, barc_sq, mu)
     )
     return dataclasses.replace(
         problem, priv_weight=new_priv_w, shared_weight=new_shared_w
@@ -837,6 +945,7 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
     round-start global gradient norm (the same quantity the in-process
     simulation checks).
     """
+    _validate_cfg(cfg)
     N = problem.num_agents
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -870,7 +979,7 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
             gradnorm=jnp.asarray(jnp.inf, dtype),
             max_rel_change=jnp.asarray(jnp.inf, dtype),
         )
-        sel0 = jnp.asarray(-1 if cfg.mode == "all" else 0, jnp.int32)
+        sel0 = jnp.asarray(-1 if cfg.mode in ("all", "async") else 0, jnp.int32)
         return (state, metrics0, sel0, jnp.asarray(0, jnp.int32),
                 jnp.asarray(max_rounds, jnp.int32), jnp.asarray(tol, dtype),
                 jnp.asarray(rel_tol, dtype))
@@ -911,7 +1020,8 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
     problem_specs = SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
         num_band=problem.num_band, band_offsets=problem.band_offsets,
-        **{f: blk_spec for f in _DATA_FIELDS},
+        **{f: (rep if f in _REPLICATED_FIELDS else blk_spec)
+           for f in _DATA_FIELDS},
     )
     fn = jax.shard_map(
         sharded_run,
@@ -920,15 +1030,13 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
         out_specs=(state_specs, RoundMetrics(rep, rep, rep), rep),
         check_vma=False,
     )
-    sharding = NamedSharding(mesh, blk_spec)
-
     @jax.jit
     def _run(pr, state, max_rounds, tol, rel_tol):
         return fn(pr, state, max_rounds, tol, rel_tol)
 
     def run(state, max_rounds, tol, problem=problem, rel_tol=0.0):
-        pr_dev = jax.tree.map(lambda x: jax.device_put(x, sharding), problem)
-        return _run(pr_dev, state, max_rounds, tol, rel_tol)
+        return _run(_device_put_problem(problem, mesh), state, max_rounds,
+                    tol, rel_tol)
 
     return run
 
@@ -1008,7 +1116,7 @@ def run_rbcd_spmd(
     """Run synchronous RBCD rounds; host checks termination every
     `check_every` rounds (one device sync). Returns (state, trace dict)."""
     step = make_step_fn(problem, cfg, mesh)
-    sel = jnp.asarray(-1 if cfg.mode == "all" else 0, jnp.int32)
+    sel = jnp.asarray(-1 if cfg.mode in ("all", "async") else 0, jnp.int32)
     tol = cfg.gradnorm_tol if gradnorm_tol is None else gradnorm_tol
 
     costs, gnorms = [], []

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,8 +132,47 @@ class CSRPlans:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=[
+        "priv_i", "priv_j", "priv_T", "priv_om",
+        "shared_idx", "shared_T", "shared_om", "shared_outgoing", "nbr",
+        "prior_idx", "prior_pose", "prior_om",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class ResidualData:
+    """Edge data for the residual-form objective/gradient evaluation
+    (cost_grad_residual). Mathematically identical to the matvec form
+    XQ + G, but numerically cancellation-free: each edge contributes
+    O(residual) directly instead of the near-cancelling O(kappa·|X|)
+    partial sums of the matvec — the difference between an f32 control
+    gradient flooring the reachable global gradnorm at ~2e-2 and one
+    accurate to ~eps·residual (see solvers/rtr.py).
+
+    `priv_om`/`shared_om`/`prior_om` are the weight-scaled per-column
+    Omega diagonals (m, dh) = diag(w·kappa, ..., w·kappa, w·tau)
+    (shared_om includes shared_mask). `nbr` holds the resolved neighbor
+    pose per shared edge — round-dependent, like the linear term G.
+    """
+
+    priv_i: jax.Array
+    priv_j: jax.Array
+    priv_T: jax.Array
+    priv_om: jax.Array
+    shared_idx: jax.Array
+    shared_T: jax.Array
+    shared_om: jax.Array
+    shared_outgoing: jax.Array
+    nbr: jax.Array
+    prior_idx: jax.Array
+    prior_pose: jax.Array
+    prior_om: jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["diag", "off_i", "off_j", "off_E", "G", "precond_inv",
-                 "band_E", "csr", "btf"],
+                 "band_E", "csr", "btf", "res"],
     meta_fields=["n", "d", "band_offsets"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -156,6 +195,9 @@ class QuadraticData:
                   coupling + all diagonal blocks (ops/block_tridiag.py).
                   Much closer to the reference's full Cholmod LDL^T than
                   block-Jacobi; when present, apply_precond uses it.
+    res         : optional ResidualData enabling the cancellation-free
+                  residual-form objective/gradient (cost_grad_residual),
+                  used for trust-region control in reduced precision.
     """
 
     n: int
@@ -172,6 +214,7 @@ class QuadraticData:
     band_E: Optional[jax.Array] = None
     csr: Optional[CSRPlans] = None
     btf: Optional[object] = None
+    res: Optional[ResidualData] = None
     band_offsets: tuple = ()
 
 
@@ -341,6 +384,111 @@ def build_linear_term(
     return G
 
 
+def build_residual_data(
+    problem: LocalProblem, nbr_poses: jax.Array
+) -> ResidualData:
+    """Pack the edge data needed by cost_grad_residual. Round-dependent only
+    through `nbr_poses` (like build_linear_term); everything else aliases the
+    LocalProblem arrays (no copies under jit)."""
+    d = problem.d
+    om_p = _omega(problem.priv_kappa, problem.priv_tau, problem.priv_weight, d)
+    om_s = _omega(
+        problem.shared_kappa, problem.shared_tau, problem.shared_weight, d
+    ) * problem.shared_mask[:, None]
+    npr = problem.prior_idx.shape[0]
+    dtype = problem.priv_T.dtype
+    if npr > 0:
+        om_prior = jnp.concatenate(
+            [jnp.full((npr, d), PRIOR_KAPPA, dtype),
+             jnp.full((npr, 1), PRIOR_TAU, dtype)],
+            axis=1,
+        ) * problem.prior_mask[:, None]
+    else:
+        om_prior = jnp.zeros((0, d + 1), dtype)
+    return ResidualData(
+        priv_i=problem.priv_i, priv_j=problem.priv_j,
+        priv_T=problem.priv_T, priv_om=om_p,
+        shared_idx=problem.shared_idx, shared_T=problem.shared_T,
+        shared_om=om_s, shared_outgoing=problem.shared_outgoing,
+        nbr=nbr_poses[problem.shared_nbr_slot],
+        prior_idx=problem.prior_idx, prior_pose=problem.prior_pose,
+        prior_om=om_prior,
+    )
+
+
+def cost_grad_residual(
+    rd: ResidualData, X: jax.Array, precision=None
+) -> Tuple[jax.Array, jax.Array]:
+    """Objective and Euclidean gradient in residual form.
+
+    For each edge with homogeneous T = [[R, t], [0, 1]] and per-column
+    weights om: Res = X_i T - X_j (r, dh), f_e = 0.5 <Res·diag(om), Res>,
+    with gradient contributions  dX_i += (Res·om) Tᵀ,  dX_j -= (Res·om).
+    Shared edges use the cached neighbor pose for the remote end (reference
+    semantics: constructG, PoseGraph.cpp:493-580); priors use
+    Res = X_k - prior_pose.
+
+    Exactly equal (in exact arithmetic) to (cost(qd, X), euc_grad(qd, X))
+    up to a CONSTANT objective offset 0.5·Σ_shared‖X_nbr‖²_om +
+    0.5·Σ_priors‖P‖²_om (the complete-residual convention) — constant
+    offsets cancel in every trust-region decision. Numerically the form is
+    cancellation-free: every term is O(residual), so an f32 evaluation has
+    ~eps·‖residual‖ absolute error where the matvec form XQ + G loses all
+    significant digits near convergence (partial sums O(kappa·|X|) cancel
+    to O(gradnorm)). This is what lets reduced-precision trust-region
+    control certify reference-quality (f64-class) gradient norms.
+
+    precision: einsum precision — pass jax.lax.Precision.HIGHEST when X is
+    f32 (default TPU f32 matmuls are bf16 passes).
+    """
+    pr_ = precision
+    n = X.shape[0]
+    r, dh = X.shape[1], X.shape[2]
+    Xf = X.reshape(n, r * dh)
+    G = jnp.zeros((n, r * dh), X.dtype)
+
+    # private edges
+    m = rd.priv_i.shape[0]
+    if m > 0:
+        Xi = Xf[rd.priv_i].reshape(m, r, dh)
+        Xj = Xf[rd.priv_j].reshape(m, r, dh)
+        Res = jnp.einsum("mra,mab->mrb", Xi, rd.priv_T, precision=pr_) - Xj
+        Rw = Res * rd.priv_om[:, None, :]
+        f = 0.5 * jnp.vdot(Res, Rw)
+        gi = jnp.einsum("mrb,mab->mra", Rw, rd.priv_T, precision=pr_)
+        G = G.at[rd.priv_i].add(gi.reshape(m, r * dh))
+        G = G.at[rd.priv_j].add(-Rw.reshape(m, r * dh))
+    else:
+        f = jnp.zeros((), X.dtype)
+
+    # shared edges (remote end = cached neighbor pose)
+    ms = rd.shared_idx.shape[0]
+    if ms > 0:
+        Xl = Xf[rd.shared_idx].reshape(ms, r, dh)
+        out_f = rd.shared_outgoing[:, None, None]
+        tail = jnp.where(out_f, Xl, rd.nbr)
+        head = jnp.where(out_f, rd.nbr, Xl)
+        Res = jnp.einsum("mra,mab->mrb", tail, rd.shared_T, precision=pr_) - head
+        Rw = Res * rd.shared_om[:, None, :]
+        f = f + 0.5 * jnp.vdot(Res, Rw)
+        contrib = jnp.where(
+            out_f,
+            jnp.einsum("mrb,mab->mra", Rw, rd.shared_T, precision=pr_),
+            -Rw,
+        )
+        G = G.at[rd.shared_idx].add(contrib.reshape(ms, r * dh))
+
+    # priors
+    npr = rd.prior_idx.shape[0]
+    if npr > 0:
+        Res = Xf[rd.prior_idx].reshape(npr, r, dh) - rd.prior_pose
+        Rw = Res * rd.prior_om[:, None, :]
+        f = f + 0.5 * jnp.vdot(Res, Rw)
+        G = G.at[rd.prior_idx].add(Rw.reshape(npr, r * dh))
+
+    return f, G.reshape(n, r, dh)
+
+
 # ---------------------------------------------------------------------------
 # Operator evaluations (reference: QuadraticProblem.cpp:29-83)
 # ---------------------------------------------------------------------------
@@ -375,18 +523,21 @@ def q_matvec(qd: QuadraticData, V: jax.Array, precision=None) -> jax.Array:
         L = len(qd.band_offsets)
         iota = jnp.arange(n, dtype=jnp.int32)
         # tail-side: out[i] -= sum_l V[i + delta_l] @ E[l, i]^T.
-        # Rows i >= n - delta_l have zero E blocks, so the clamped gather's
-        # garbage is annihilated.
-        up = jnp.minimum(iota[None, :] + offs[:, None], n - 1)  # (L, n)
+        # Offsets may be negative (backward edges j < i stay on their lane
+        # un-flipped — the lifted translation cost is NOT invariant under
+        # edge reversal, so flipping would change the objective). Rows whose
+        # i + delta_l falls outside [0, n) have zero E blocks, so the clipped
+        # gather's garbage is annihilated.
+        up = jnp.clip(iota[None, :] + offs[:, None], 0, n - 1)  # (L, n)
         Vs = V[up.reshape(-1)].reshape(L, n, r, dh)
         out = out - jnp.einsum("lnrb,lncb->nrc", Vs, qd.band_E, precision=pr_)
-        # head-side: out[j] -= sum_l (V @ E)[l, j - delta_l]; j - delta_l < 0
-        # gathers the appended zero row.
+        # head-side: out[j] -= sum_l (V @ E)[l, j - delta_l]; j - delta_l
+        # outside [0, n) gathers the appended zero row.
         C = jnp.einsum("nrb,lnbc->lnrc", V, qd.band_E, precision=pr_).reshape(L * n, r, dh)
         C = jnp.concatenate([C, jnp.zeros((1, r, dh), C.dtype)])
         down = iota[None, :] - offs[:, None]  # (L, n)
         flat = jnp.where(
-            down >= 0,
+            (down >= 0) & (down < n),
             jnp.arange(L, dtype=jnp.int32)[:, None] * n + down,
             L * n,
         )
@@ -590,18 +741,24 @@ def choose_band_offsets(
     if min_count is None:
         min_count = max(16, n // 32)
     delta = j_np - i_np
-    valid = (delta >= 1) & (delta < n)
+    # Negative offsets (backward edges j < i) qualify too: they get their own
+    # lane rather than being flipped — the lifted translation cost is not
+    # invariant under edge reversal (see q_matvec).
+    valid = (delta != 0) & (np.abs(delta) < n)
     vals, cnts = np.unique(delta[valid], return_counts=True)
     keep = vals[cnts >= min_count]
     kcnt = cnts[cnts >= min_count]
     if len(keep) > max_lanes:
         top = np.argsort(-kcnt)[:max_lanes]
-        keep = keep[top]
+        keep, kcnt = keep[top], kcnt[top]
     # always include the odometry offset if present at all (it also feeds
     # the block-tridiagonal preconditioner)
     if 1 in vals and 1 not in keep:
-        keep = np.append(keep, 1)[-max_lanes:] if len(keep) >= max_lanes \
-            else np.append(keep, 1)
+        if len(keep) >= max_lanes:
+            # evict the LOWEST-count lane (keep is in descending-count order)
+            keep = np.append(keep[: max_lanes - 1], 1)
+        else:
+            keep = np.append(keep, 1)
     return tuple(int(v) for v in np.sort(keep))
 
 

@@ -149,7 +149,8 @@ def _tcg(
 
 def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only: bool,
                    qd_inner=None, exact_inner_hessian: bool = True,
-                   inner_control_matvecs: bool = False):
+                   inner_control_matvecs: bool = False,
+                   residual_control: bool = False):
     """One outer RTR iteration: tCG, rho test, radius update.
 
     qd_inner: optionally a lower-precision copy of qd (mixed precision): the
@@ -188,7 +189,26 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
     else:
         tcg = _tcg(qd, state.X, state.S, state.grad, state.radius, max_inner)
     X_new = lifted.retract(state.X, tcg.eta)
-    if qd_inner is not None and inner_control_matvecs:
+    if residual_control:
+        # Residual-mode control: the new cost comes from the
+        # cancellation-free difference identity (below) and the new gradient
+        # from the residual-form evaluator — BOTH are accurate to
+        # ~eps·residual in the control dtype, so reference-quality (f64-
+        # class) gradient norms are certifiable with pure-f32 tensor ops.
+        qd_c = qd if qd_inner is None else qd_inner
+        dt = qd_c.diag.dtype
+        hi = jax.lax.Precision.HIGHEST
+        D = X_new - state.X
+        qs = quadratic.q_matvec(
+            qd_c, (state.X + X_new).astype(dt), precision=hi
+        ).astype(state.X.dtype)
+        df = 0.5 * jnp.vdot(qs, D) + jnp.vdot(D, qd.G)  # f(X_new) - f(X)
+        f_new = state.fx + df
+        _, eg_new = quadratic.cost_grad_residual(
+            qd_c.res, X_new.astype(dt), precision=hi
+        )
+        eg = eg_new.astype(state.X.dtype)
+    elif qd_inner is not None and inner_control_matvecs:
         # Cancellation-free actual decrease WITHOUT a full-precision matvec:
         # for the quadratic objective,
         #   f(X') - f(X) = 0.5 <(X + X') Q, X' - X> + <X' - X, G>.
@@ -215,11 +235,13 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
         qm_new = quadratic.q_matvec(
             qd_inner, X_new.astype(dt), precision=hi
         ).astype(state.X.dtype)
+        eg = qm_new + qd.G
     else:
         # one matvec serves both the new cost and the new Euclidean gradient:
         # f = 0.5 <XQ, X> + <X, G>,  eg = XQ + G
         qm_new = quadratic.q_matvec(qd, X_new)
         f_new = 0.5 * jnp.vdot(qm_new, X_new) + jnp.vdot(X_new, qd.G)
+        eg = qm_new + qd.G
 
     model_decrease = -(lifted.inner(state.grad, tcg.eta) + 0.5 * lifted.inner(tcg.eta, tcg.Heta))
     # small regularization guards rho against cancellation near convergence
@@ -247,7 +269,6 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
 
     # on rejection the previous gradient/correction are still valid — select
     # instead of recomputing (saves a matvec on the rejected branch too)
-    eg = qm_new + qd.G
     grad_new = lifted.proj_tangent(X_new, eg)
     S_new = quadratic.hess_correction(X_new, eg)
     grad_next = jnp.where(accept, grad_new, state.grad)
@@ -265,12 +286,35 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
     )
 
 
-def _initial_state(qd, Y0, radius, qd_inner=None, inner_control_matvecs=False):
+def _initial_state(qd, Y0, radius, qd_inner=None, inner_control_matvecs=False,
+                   residual_control=False):
     # one matvec for both cost and gradient (f = 0.5 <XQ,X> + <X,G>). With
     # inner control matvecs the initial cost/gradient run in inner precision:
     # fx only anchors the running decrease (differences are computed
     # cancellation-free, see _rtr_iteration) and the gradient feeds
     # absolute-tolerance checks.
+    if residual_control:
+        # residual-form cost + gradient: cancellation-free in the control
+        # dtype (fx is in the complete-residual convention — constant-offset
+        # from 0.5<XQ,X>+<X,G>, which cancels in every decision)
+        qd_c = qd if qd_inner is None else qd_inner
+        dt = qd_c.diag.dtype
+        f0, eg = quadratic.cost_grad_residual(
+            qd_c.res, Y0.astype(dt), precision=jax.lax.Precision.HIGHEST
+        )
+        eg = eg.astype(Y0.dtype)
+        grad = lifted.proj_tangent(Y0, eg)
+        return RTRState(
+            X=Y0,
+            fx=f0.astype(Y0.dtype),
+            grad=grad,
+            gnorm=lifted.norm(grad),
+            S=quadratic.hess_correction(Y0, eg),
+            radius=jnp.asarray(radius, Y0.dtype),
+            it=jnp.asarray(0, jnp.int32),
+            accepted=jnp.asarray(False),
+            tcg_iters=jnp.asarray(0, jnp.int32),
+        )
     if qd_inner is not None and inner_control_matvecs:
         dt = qd_inner.diag.dtype
         qm = quadratic.q_matvec(
@@ -297,7 +341,7 @@ def _initial_state(qd, Y0, radius, qd_inner=None, inner_control_matvecs=False):
     jax.jit,
     static_argnames=("max_iterations", "max_inner", "shrink_until_accept",
                      "inner_dtype", "exact_inner_hessian",
-                     "inner_control_matvecs"),
+                     "inner_control_matvecs", "residual_control"),
 )
 def rtr_solve(
     qd: QuadraticData,
@@ -310,6 +354,7 @@ def rtr_solve(
     inner_dtype=None,
     exact_inner_hessian: bool = True,
     inner_control_matvecs: bool = False,
+    residual_control: bool = False,
 ) -> Tuple[jax.Array, RTRStats]:
     """Riemannian trust-region solve of the lifted PGO quadratic.
 
@@ -321,13 +366,19 @@ def rtr_solve(
     inner_dtype (e.g. jnp.float32): run the tCG inner loop in reduced
     precision while keeping trust-region control in Y0's dtype — see
     _rtr_iteration. None = single precision level throughout.
+
+    residual_control=True (requires qd.res, see quadratic.ResidualData):
+    control cost differences come from the cancellation-free identity and
+    control gradients from the residual-form evaluator — both accurate to
+    ~eps·residual in the control dtype, so reference-quality gradient norms
+    are certifiable without any f64 tensor kernels (the scale path).
     """
     qd_inner = None
     if inner_dtype is not None and inner_dtype != Y0.dtype:
         cast = lambda x: x.astype(inner_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
         qd_inner = jax.tree.map(cast, qd)
     state0 = _initial_state(qd, Y0, initial_radius, qd_inner,
-                            inner_control_matvecs)
+                            inner_control_matvecs, residual_control)
     f_init, g_init = state0.fx, state0.gnorm
     # No optimization if gradient is already below threshold
     # (QuadraticOptimizer.cpp:56-58).
@@ -345,7 +396,8 @@ def rtr_solve(
             nxt = _rtr_iteration(qd, state, max_inner, max_radius=state.radius,
                                  shrink_only=True, qd_inner=qd_inner,
                                  exact_inner_hessian=exact_inner_hessian,
-                                 inner_control_matvecs=inner_control_matvecs)
+                                 inner_control_matvecs=inner_control_matvecs,
+                                 residual_control=residual_control)
             # on rejection: keep the original iterate, shrink the radius by 4
             nxt = nxt._replace(
                 radius=jnp.where(nxt.accepted, nxt.radius, 0.25 * state.radius)
@@ -367,7 +419,8 @@ def rtr_solve(
             return _rtr_iteration(qd, state, max_inner, max_radius,
                                   shrink_only=False, qd_inner=qd_inner,
                                   exact_inner_hessian=exact_inner_hessian,
-                                  inner_control_matvecs=inner_control_matvecs)
+                                  inner_control_matvecs=inner_control_matvecs,
+                                  residual_control=residual_control)
 
         final = jax.lax.while_loop(cond, body, state0)
 

@@ -151,13 +151,16 @@ def main():
     # ~1 min — retry the chunk (compiled executables survive in the cache;
     # the retry replays from the last materialized state).
     chunk = max(1, min(rounds, 5 if num_poses >= 50_000 else 20))
+    # DPGO_SCALE_TOL: stop at a global gradnorm tolerance (time-to-tol runs)
+    tol = float(os.environ.get("DPGO_SCALE_TOL", "1e-9"))
     t0 = time.perf_counter()
     s2, total = state, 0
     s2_host = None
     failures = 0
-    while total < rounds:
+    m2 = m1
+    while total < rounds and float(m2.gradnorm) >= tol:
         try:
-            nxt, m2, r2 = run(s2, min(chunk, rounds - total), 1e-9)
+            nxt, m2, r2 = run(s2, min(chunk, rounds - total), tol)
             s2_host = jax.tree.map(np.asarray, nxt)  # materialize: checkpoint
             s2 = nxt
             total += int(r2)

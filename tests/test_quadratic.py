@@ -1,5 +1,6 @@
 """Quadratic-operator parity vs a dense numpy oracle of the reference math."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -201,3 +202,158 @@ def test_band_split_matches_plain():
     out_a = np.asarray(quadratic.q_matvec(qd_a, jnp.asarray(V)))
     out_b = np.asarray(quadratic.q_matvec(qd_b, jnp.asarray(V)))
     np.testing.assert_allclose(out_a, out_b, rtol=1e-12, atol=1e-12)
+
+
+def test_negative_offset_lanes_match_plain():
+    """Backward edges (p2 < p1) are never flipped — the lifted translation
+    cost is not invariant under edge reversal (ADVICE r2). They instead get
+    negative-offset lanes; the lane matvec must match the gather path and the
+    dense oracle exactly."""
+    rng = np.random.default_rng(18)
+    n, d, r = 16, 3, 5
+    meas, _ = oracle.random_measurements(rng, n, d, 3)
+    # add a backward "lane" of edges at offset -4 plus odd backward edges
+    from dpgo_tpu.measurements import RelativeSEMeasurement
+    from dpgo_tpu.solvers.averaging import project_to_rotation_group
+
+    def back(i, j):
+        R = project_to_rotation_group(rng.standard_normal((d, d)))
+        return RelativeSEMeasurement(0, 0, i, j, R, rng.standard_normal(d), 2.0, 1.0)
+
+    meas = meas + [back(i, i - 4) for i in range(4, n)] + [back(9, 2), back(14, 3)]
+    edges = EdgeArrays.from_measurements(meas)
+    p_plain = quadratic.from_private_measurements(edges, n=n, d=d, band=False)
+    p_band = quadratic.plan_bands(
+        quadratic.from_private_measurements(edges, n=n, d=d, band=False),
+        offsets=(-4, 1),
+    )
+    assert p_band.num_band == (n - 1) + (n - 4)
+    assert -4 in p_band.band_offsets
+    qd_a = quadratic.build_quadratic_data(p_plain, jnp.zeros((1, r, d + 1)), r=r)
+    qd_b = quadratic.build_quadratic_data(p_band, jnp.zeros((1, r, d + 1)), r=r)
+    Qdense = oracle.dense_connection_laplacian(meas, n)
+    V = rng.standard_normal((n, r, d + 1))
+    out_a = np.asarray(quadratic.q_matvec(qd_a, jnp.asarray(V)))
+    out_b = np.asarray(quadratic.q_matvec(qd_b, jnp.asarray(V)))
+    out_dense = oracle.unflat(oracle.flat(V) @ Qdense, n, d)
+    np.testing.assert_allclose(out_a, out_dense, rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(out_b, out_dense, rtol=1e-12, atol=1e-10)
+
+
+def test_choose_band_offsets_negative_and_eviction():
+    """choose_band_offsets admits negative offsets, and forcing the odometry
+    offset in evicts the LOWEST-count lane (ADVICE r2 low)."""
+    # 60 edges at offset -3, 50 at offset +7, 40 at offset 2, 30 odometry
+    i_np = np.concatenate([
+        np.arange(60) + 3, np.arange(50), np.arange(40), np.arange(30),
+    ])
+    j_np = np.concatenate([
+        np.arange(60), np.arange(50) + 7, np.arange(40) + 2, np.arange(30) + 1,
+    ])
+    offs = quadratic.choose_band_offsets(i_np, j_np, n=100, min_count=20)
+    assert set(offs) == {-3, 7, 2, 1}
+    # with max_lanes=3 and 1 not among the top lanes, the lowest-count
+    # non-odometry lane (offset 2, count 40) is evicted — not the top one
+    offs3 = quadratic.choose_band_offsets(
+        i_np, j_np, n=100, min_count=20, max_lanes=3
+    )
+    assert set(offs3) == {-3, 7, 1}
+
+
+def test_residual_form_matches_matvec_form():
+    """cost_grad_residual == (cost, euc_grad) up to the documented constant
+    objective offset, on a problem with private + shared edges + priors."""
+    rng = np.random.default_rng(19)
+    n, d, r = 6, 3, 5
+    dh = d + 1
+    meas, _ = oracle.random_measurements(rng, n, d, 2)
+    edges = EdgeArrays.from_measurements(meas)
+    from dpgo_tpu.solvers.averaging import project_to_rotation_group
+
+    def rand_T():
+        R = project_to_rotation_group(rng.standard_normal((d, d)))
+        return homogeneous(R, rng.standard_normal(d))
+
+    Ts = np.stack([rand_T(), rand_T()])
+    nbr_poses = rng.standard_normal((2, r, dh))
+    P = rng.standard_normal((r, dh))
+    problem = quadratic.make_local_problem(
+        n=n, d=d,
+        priv_i=edges.p1, priv_j=edges.p2,
+        priv_T=homogeneous(edges.R, edges.t),
+        priv_kappa=edges.kappa, priv_tau=edges.tau, priv_weight=edges.weight,
+        shared_idx=[1, 4], shared_T=Ts,
+        shared_kappa=[2.0, 3.0], shared_tau=[1.5, 0.5],
+        shared_weight=[0.7, 1.0], shared_outgoing=[True, False],
+        shared_nbr_slot=[0, 1], shared_mask=[1.0, 1.0],
+        prior_idx=[2], prior_pose=P[None], prior_mask=[1.0],
+        r=r,
+    )
+    qd = quadratic.build_quadratic_data(problem, jnp.asarray(nbr_poses), r=r)
+    rd = quadratic.build_residual_data(problem, jnp.asarray(nbr_poses))
+
+    X = rng.standard_normal((n, r, dh))
+    f_res, g_res = quadratic.cost_grad_residual(rd, jnp.asarray(X))
+    g_mv = np.asarray(quadratic.euc_grad(qd, jnp.asarray(X)))
+    np.testing.assert_allclose(np.asarray(g_res), g_mv, rtol=1e-11, atol=1e-9)
+
+    # objective matches up to the constant offset: 0.5||nbr||^2_om (outgoing)
+    # + 0.5||nbr T||^2_om (incoming) + 0.5||P||^2_om (priors)
+    from dpgo_tpu.types import PRIOR_KAPPA, PRIOR_TAU
+
+    om = lambda k, t, w: np.array([w * k] * d + [w * t])
+    const = 0.5 * np.sum(om(2.0, 1.5, 0.7)[None, :] * nbr_poses[0] ** 2)
+    nbrT = nbr_poses[1] @ np.asarray(Ts[1])
+    const += 0.5 * np.sum(om(3.0, 0.5, 1.0)[None, :] * nbrT**2)
+    const += 0.5 * np.sum(np.array([PRIOR_KAPPA] * d + [PRIOR_TAU])[None, :] * P**2)
+    f_mv = float(quadratic.cost(qd, jnp.asarray(X)))
+    np.testing.assert_allclose(float(f_res), f_mv + const, rtol=1e-12)
+
+
+def test_residual_form_f32_accuracy_near_optimum():
+    """Near a minimizer, the f32-cast residual-form gradient is at least as
+    accurate as the f32-cast matvec form (both are dominated by the f32
+    quantization of the evaluation point itself — measured ratio ~0.77; the
+    residual form's decisive role is enabling delta-state evaluation, where
+    the point is never materialized in reduced precision)."""
+    rng = np.random.default_rng(20)
+    n, d, r = 200, 3, 5
+    meas, (Rw, tw) = oracle.random_measurements(rng, n, d, 40)
+    edges = EdgeArrays.from_measurements(meas)
+    problem = quadratic.from_private_measurements(edges, n=n, d=d)
+    qd = quadratic.build_quadratic_data(problem, jnp.zeros((1, r, d + 1)), r=r)
+    rd = quadratic.build_residual_data(problem, jnp.zeros((1, r, d + 1)))
+    # a genuine near-minimizer: start from the lifted ground truth and run
+    # the f64 RTR to a tight tolerance (residuals stay ~ the 0.01 measurement
+    # noise while pose entries are O(1) — the cancellation regime)
+    from dpgo_tpu.ops import lifted as lifted_ops
+    from dpgo_tpu.solvers import rtr as rtr_mod
+
+    Y_lift = np.asarray(lifted_ops.fixed_stiefel_variable(d, r))
+    T_true = np.concatenate(
+        [np.stack(Rw), np.stack(tw)[:, :, None]], axis=2
+    )  # (n, d, dh)
+    X0 = np.einsum("rd,nde->nre", Y_lift, T_true)
+    X, _ = rtr_mod.rtr_solve(
+        qd, jnp.asarray(X0), gradnorm_tol=1e-8, initial_radius=100.0,
+        max_iterations=50,
+    )
+    X = np.asarray(X)
+    g64 = np.asarray(quadratic.euc_grad(qd, jnp.asarray(X)))
+    hi = jax.lax.Precision.HIGHEST
+    _, g32_res = quadratic.cost_grad_residual(
+        jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, rd),
+        jnp.asarray(X, jnp.float32), precision=hi)
+    g32_mv = quadratic.q_matvec(
+        jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, qd),
+        jnp.asarray(X, jnp.float32), precision=hi)
+    err_res = np.linalg.norm(np.asarray(g32_res, np.float64) - g64)
+    err_mv = np.linalg.norm(np.asarray(g32_mv, np.float64) - g64)
+    assert err_res <= 1.2 * err_mv, (err_res, err_mv)
+    # absolute accuracy is at the quantization level, far below the gradient
+    # scale of this problem
+    assert err_res < 1e-4

@@ -127,3 +127,33 @@ def test_rsd_line_search():
     assert float(stats.f_opt) < float(stats.f_init)
     assert float(stats.gnorm_opt) < 1e-3
     assert lifted.check_stiefel(np.asarray(Y)[:, :, :3])
+
+
+def test_residual_control_matches_plain():
+    """rtr_solve with residual_control (cancellation-free control path)
+    reaches the same optimum as the plain matvec control in f64."""
+    rng = np.random.default_rng(37)
+    n, d, r = 8, 3, 5
+    meas, _ = oracle.random_measurements(rng, n, d, 4)
+    edges = EdgeArrays.from_measurements(meas)
+    problem = quadratic.from_private_measurements(edges, n=n, d=d)
+    qd = quadratic.build_quadratic_data(problem, jnp.zeros((1, r, d + 1)), r=r)
+    rd = quadratic.build_residual_data(problem, jnp.zeros((1, r, d + 1)))
+    import dataclasses
+
+    qd_res = dataclasses.replace(qd, res=rd)
+    Y0 = lifted.identity_lifted(n, r, d)
+    Ya, sa = rtr_mod.rtr_solve(
+        qd, Y0, gradnorm_tol=1e-9, initial_radius=100.0, max_iterations=100,
+    )
+    Yb, sb = rtr_mod.rtr_solve(
+        qd_res, Y0, gradnorm_tol=1e-9, initial_radius=100.0,
+        max_iterations=100, residual_control=True,
+    )
+    assert float(sb.gnorm_opt) < 1e-9
+    # same optimum (the cost conventions differ by a constant: here there are
+    # no shared edges/priors, so even the costs agree)
+    np.testing.assert_allclose(float(sa.f_opt), float(sb.f_opt), rtol=1e-10)
+    np.testing.assert_allclose(
+        float(quadratic.rie_grad_norm(qd, Yb)), 0.0, atol=1e-8
+    )

@@ -256,3 +256,118 @@ def test_sharded_two_agents_per_device():
         s_s, m_s, _ = step_sharded(s_s, sel)
     np.testing.assert_allclose(np.asarray(s_l.X), np.asarray(s_s.X), atol=1e-9)
     np.testing.assert_allclose(float(m_l.gradnorm), float(m_s.gradnorm), rtol=1e-8)
+
+
+def test_backward_edges_objective_matches_central():
+    """Regression (ADVICE r2 high): backward private edges (p2 < p1) must not
+    be flipped — the lifted translation cost is not reversal-invariant. On
+    smallGrid3D (33 backward edges) the SPMD objective/gradient must equal
+    the centralized evaluation exactly."""
+    meas, n = read_g2o_file("/root/reference/data/smallGrid3D.g2o")
+    r = 5
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=4, r=r)
+    # at least one backward private edge survives partitioning and is laneable
+    deltas = (np.asarray(problem.priv_j) - np.asarray(problem.priv_i))[
+        np.asarray(problem.priv_kappa) > 0
+    ]
+    assert (deltas < 0).any()
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    qd_central = build_central_evaluation(meas, n, r)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False)
+    step = spmd.make_step_fn(problem, cfg, mesh=None)
+    _, metrics, _ = step(state, jnp.asarray(-1, jnp.int32))
+    cost_c, gnorm_c = _global_metrics(qd_central, state, ranges, n)
+    np.testing.assert_allclose(float(metrics.cost), 2 * cost_c, rtol=1e-10)
+    np.testing.assert_allclose(float(metrics.gradnorm), gnorm_c, rtol=1e-9)
+
+
+def test_spmd_elastic_membership():
+    """SPMD-path elastic membership (VERDICT r2 #4): a robot deactivates
+    mid-run on the 8-device mesh — its block freezes, its shared edges drop
+    from the team objective, the remaining team keeps converging — then
+    reactivates and the full team converges."""
+    meas, n = read_g2o_file("/root/reference/data/smallGrid3D.g2o")
+    r = 5
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=8, r=r)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("agents",))
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    run = spmd.make_run_fn(problem, cfg, mesh=mesh)
+
+    # phase 1: full team, a few rounds
+    state, m1, _ = run(state, 10, 0.0)
+    assert np.isfinite(float(m1.cost))
+
+    # phase 2: robot 3 drops out (runtime array change — no recompile)
+    active = np.ones(8, bool)
+    active[3] = False
+    pr_drop = problem.with_robot_active(active)
+    X_before = np.asarray(state.X[3])
+    state, m2, _ = run(state, 60, 0.0, problem=pr_drop)
+    # the inactive robot's block is exactly frozen
+    np.testing.assert_array_equal(np.asarray(state.X[3]), X_before)
+    assert np.isfinite(float(m2.cost))
+    # the reduced team's (masked) gradnorm decreases toward its own optimum
+    assert float(m2.gradnorm) < float(m1.gradnorm)
+
+    # GNC reweighting leaves edges to the inactive neighbor untouched
+    pr_w = spmd.gnc_reweight(pr_drop, state, barc_sq=25.0, mu=1e-4)
+    to_inactive = np.asarray(pr_drop.shared_nbr_robot) == 3
+    np.testing.assert_array_equal(
+        np.asarray(pr_w.shared_weight)[to_inactive],
+        np.asarray(pr_drop.shared_weight)[to_inactive],
+    )
+
+    # phase 3: reactivation — the full team converges to the true optimum
+    state, m3, rounds3 = run(state, 400, 0.1, problem=problem)
+    assert float(m3.gradnorm) < 0.1
+    X = spmd.assemble_global(state, ranges, n)
+    assert lifted.check_stiefel(X[:, :, :3])
+
+
+def test_spmd_async_mode():
+    """Semantic-async SPMD (VERDICT r2 #5): Poisson-thinned per-agent update
+    masks inside the bulk-synchronous round (RA-L 2020 update model,
+    reference host-thread version PGOAgent.cpp:486-499). Converges on the
+    mesh; acceleration is rejected as in the reference (:477)."""
+    meas, n = read_g2o_file("/root/reference/data/tinyGrid3D.g2o")
+    r = 5
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=4, r=r)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+
+    with pytest.raises(ValueError):
+        spmd.make_run_fn(
+            problem, spmd.SPMDConfig(mode="async", acceleration=True)
+        )
+
+    cfg = spmd.SPMDConfig(mode="async", acceleration=False,
+                          rtr_iterations=1, async_rate=0.7, seed=3)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("agents",))
+    run = spmd.make_run_fn(problem, cfg, mesh=mesh)
+    state_out, metrics, rounds = run(state, 400, 0.1)
+    assert float(metrics.gradnorm) < 0.1
+    # the thinning actually skips updates: over a few single rounds, some
+    # agents' blocks move and some stay exactly frozen
+    step = spmd.make_step_fn(problem, cfg, mesh=None)
+    fired, skipped = False, False
+    s = state
+    for _ in range(6):
+        s2, _, _ = step(s, jnp.asarray(-1, jnp.int32))
+        moved = np.array([
+            not np.array_equal(np.asarray(s2.X[a]), np.asarray(s.X[a]))
+            for a in range(4)
+        ])
+        fired |= moved.any()
+        skipped |= (~moved).any()
+        s = s2
+    assert fired and skipped
