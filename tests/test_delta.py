@@ -1,0 +1,165 @@
+"""Anchored delta-state engine tests (parallel/delta.py): the certified
+f32-only accuracy path for the 100k scale target."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpgo_tpu import quadratic
+from dpgo_tpu.io.g2o import read_g2o_file
+from dpgo_tpu.ops import lifted
+from dpgo_tpu.parallel import delta as delta_mod
+from dpgo_tpu.parallel import spmd
+from dpgo_tpu.parallel.simulation import build_central_evaluation
+from dpgo_tpu.solvers.pgo import chordal_initialization
+
+
+def test_delta_polar_matches_exact_polar():
+    """delta_polar(Y_ref, M_ref, W) + Y_ref == polar(Y_ref + W), computed to
+    ~f32 eps of the SMALL quantities even though it never forms the identity
+    or an O(1) intermediate."""
+    rng = np.random.default_rng(50)
+    r, d = 5, 3
+    for _ in range(20):
+        # anchor: near-orthonormal with a genuine defect (as after f32
+        # rounding of a host re-anchor)
+        Y0, _ = np.linalg.qr(rng.standard_normal((r, d)))
+        Y_ref = (Y0 + 1e-4 * rng.standard_normal((r, d))).astype(np.float32)
+        M_ref = (Y_ref.astype(np.float64).T @ Y_ref.astype(np.float64)
+                 - np.eye(d)).astype(np.float32)
+        W = (1e-3 * rng.standard_normal((r, d))).astype(np.float32)
+
+        out = delta_mod.delta_polar(
+            jnp.asarray(Y_ref), jnp.asarray(M_ref), jnp.asarray(W)
+        )
+        Y_new = Y_ref.astype(np.float64) + np.asarray(out, np.float64)
+        # exact polar in f64
+        A = Y_ref.astype(np.float64) + W.astype(np.float64)
+        U, _, Vt = np.linalg.svd(A, full_matrices=False)
+        P = U @ Vt
+        np.testing.assert_allclose(Y_new, P, atol=5e-7)
+        # the result is orthonormal far beyond what an O(1)-forming f32
+        # computation could guarantee relative to the inputs
+        assert np.abs(Y_new.T @ Y_new - np.eye(d)).max() < 5e-7
+
+        # LARGE W (Nesterov extrapolation regime): the pre-scaled delta-NS
+        # stays globally convergent — the result is the correct polar factor
+        W_big = rng.standard_normal((r, d)).astype(np.float32)
+        out_b = delta_mod.delta_polar(
+            jnp.asarray(Y_ref), jnp.asarray(M_ref), jnp.asarray(W_big)
+        )
+        Yb = Y_ref.astype(np.float64) + np.asarray(out_b, np.float64)
+        Ab = Y_ref.astype(np.float64) + W_big.astype(np.float64)
+        Ub, _, Vtb = np.linalg.svd(Ab, full_matrices=False)
+        np.testing.assert_allclose(Yb, Ub @ Vtb, atol=2e-5)
+
+
+def test_delta_engine_matches_f64_optimum():
+    """The delta engine (f32 problem, f32 deltas, host f64 anchor) reaches
+    the f64 engine's optimum on tinyGrid3D, certified by a host-side f64
+    gradient evaluation."""
+    meas, n = read_g2o_file("/root/reference/data/tinyGrid3D.g2o")
+    r = 5
+    N = 4
+    problem64, ranges = spmd.build_spmd_problem(meas, n, num_agents=N, r=r)
+    problem32, _ = spmd.build_spmd_problem(
+        meas, n, num_agents=N, r=r, dtype=jnp.float32
+    )
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+
+    # f64 reference run
+    state64 = spmd.initial_state(problem64, X0, ranges)
+    cfg64 = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1,
+                            rtr_gradnorm_tol=1e-3 / (2 * np.sqrt(N)))
+    run64 = spmd.make_run_fn(problem64, cfg64, mesh=None)
+    s64, m64, _ = run64(state64, 400, 1e-3)
+    assert float(m64.gradnorm) < 1e-3
+
+    # delta engine from the same init
+    X0_stack = np.zeros((N, problem32.n_max, r, 4))
+    for a, (s, e) in enumerate(ranges):
+        X0_stack[a, : e - s] = X0[s:e]
+        # padded rows: identity-lifted (same convention as initial_state)
+        X0_stack[a, e - s:] = np.asarray(
+            lifted.identity_lifted(problem32.n_max - (e - s), r, 3)
+        )
+    cfg32 = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1,
+                            rtr_gradnorm_tol=1e-3 / (2 * np.sqrt(N)))
+    X_final, info = delta_mod.run_delta_certified(
+        problem32, X0_stack, cfg32, tol=1e-3, chunk=20, max_rounds=600,
+    )
+    assert info["device_gradnorm"] < 1e-3
+
+    # honest certification: f64 host evaluation of the global gradnorm
+    qd_central = build_central_evaluation(meas, n, r)
+    Xg = np.zeros((n, r, 4))
+    for a, (s, e) in enumerate(ranges):
+        Xg[s:e] = X_final[a, : e - s]
+    g64 = float(quadratic.rie_grad_norm(qd_central, jnp.asarray(Xg)))
+    assert g64 < 2e-3
+    # same optimum as the f64 engine
+    c64 = float(quadratic.cost(qd_central, jnp.asarray(Xg)))
+    c_ref = float(quadratic.cost(
+        qd_central, jnp.asarray(spmd.assemble_global(s64, ranges, n))
+    ))
+    np.testing.assert_allclose(c64, c_ref, rtol=1e-5)
+
+
+def test_delta_engine_beats_f32_floor():
+    """The whole point: on a world whose coordinates sit FAR from the origin
+    (a global translation — a gauge transformation, so edges, optimum
+    structure, and conditioning are all unchanged; think UTM coordinates in
+    real SLAM), the plain f32 engine's iterate must store huge pose values
+    and its reachable gradient norm is floored by eps_f32·|coordinate|,
+    while the delta engine (host-f64 anchor, f32 deltas) certifies below
+    the tolerance."""
+    from dpgo_tpu.datasets import synthesize_grid3d
+
+    offset = 30000.0
+    edges, n, T_true = synthesize_grid3d(216, seed=3)
+    meas = edges.to_measurements()
+    r = 5
+    N = 4
+    problem32, ranges = spmd.build_spmd_problem(
+        meas, n, num_agents=N, r=r, dtype=jnp.float32
+    )
+    T = np.asarray(T_true).copy()
+    T[:, :, 3] += offset  # global translation: pure gauge
+    # start near the (noisy-world) optimum: lifted ground truth
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+
+    qd_central = build_central_evaluation(meas, n, r)
+    tol = 1e-2
+
+    # plain f32 engine: floored above tol (host f64 evaluation)
+    state32 = spmd.initial_state(problem32, X0.astype(np.float32), ranges)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1,
+                          rtr_gradnorm_tol=tol / (2 * np.sqrt(N)))
+    run32 = spmd.make_run_fn(problem32, cfg, mesh=None)
+    s32, m32, _ = run32(state32, 150, 0.0)
+    X32 = spmd.assemble_global(s32, ranges, n)
+    g32 = float(quadratic.rie_grad_norm(qd_central, jnp.asarray(X32)))
+
+    # delta engine: certifies below tol from the same start
+    X0_stack = np.zeros((N, problem32.n_max, r, 4))
+    for a, (s, e) in enumerate(ranges):
+        X0_stack[a, : e - s] = X0[s:e]
+        X0_stack[a, e - s:] = np.asarray(
+            lifted.identity_lifted(problem32.n_max - (e - s), r, 3)
+        )
+    X_final, info = delta_mod.run_delta_certified(
+        problem32, X0_stack, cfg, tol=tol / 2, chunk=25, max_rounds=400,
+    )
+    Xg = np.zeros((n, r, 4))
+    for a, (s, e) in enumerate(ranges):
+        Xg[s:e] = X_final[a, : e - s]
+    gd = float(quadratic.rie_grad_norm(qd_central, jnp.asarray(Xg)))
+
+    assert g32 > tol, f"f32 floor unexpectedly below tol: {g32}"
+    assert gd < tol, f"delta engine failed to certify: {gd}"
