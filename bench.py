@@ -83,6 +83,9 @@ def run_centralized(meas, n, verbose=False):
         )
         X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
         qd = quadratic.build_quadratic_data(problem, jnp.zeros((1, RANK, d + 1)), r=RANK)
+        # Pallas CSR segment-sum for the gather-path (non-laneable) edges;
+        # no-op off TPU / when nearly all edges are laneable
+        qd = quadratic.attach_csr_plans(qd)
         X, stats = rtr_mod.rtr_solve(
             qd, X0, gradnorm_tol=TOL, initial_radius=100.0,
             max_iterations=100, max_inner=200,

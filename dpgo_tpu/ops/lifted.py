@@ -77,8 +77,15 @@ def stiefel_proj_tangent(Y: jax.Array, V: jax.Array) -> jax.Array:
     operands (no transpose HLO): explicit transposes feeding dots trip an
     XLA:TPU TransposeFolding crash/fixpoint blowup in composed programs, and
     the einsum form is also faster."""
-    YtV = jnp.einsum("...ra,...rb->...ab", Y, V)
-    return V - jnp.einsum("...ra,...ab->...rb", Y, _sym(YtV))
+    # HIGHEST precision unconditionally: the input's NORMAL component is
+    # O(1) even when the projected result is tiny (e.g. the Euclidean
+    # gradient at a critical point), so TPU's default bf16 f32-matmul passes
+    # would leak ~1e-2 of the normal component into the "tangent" output —
+    # fatal for gradient-norm certification. These are per-pose (r,d)-sized
+    # matmuls; HIGHEST costs nothing measurable.
+    hi = jax.lax.Precision.HIGHEST
+    YtV = jnp.einsum("...ra,...rb->...ab", Y, V, precision=hi)
+    return V - jnp.einsum("...ra,...ab->...rb", Y, _sym(YtV), precision=hi)
 
 
 def proj_tangent(X: jax.Array, V: jax.Array) -> jax.Array:

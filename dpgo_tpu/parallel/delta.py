@@ -296,7 +296,11 @@ def _delta_rtr_step(
 
     def body(c):
         _accepted, attempts, _D, radius = c
-        tcg = rtr_mod._tcg(qd, X0, S0, grad0, radius, cfg.rtr_tcg_iterations)
+        tcg = rtr_mod._tcg(
+            qd, X0, S0, grad0, radius, cfg.rtr_tcg_iterations,
+            precision=(jax.lax.Precision.HIGHEST
+                       if cfg.rtr_tcg_precision == "highest" else None),
+        )
         eta = lifted.proj_tangent(X0, tcg.eta)
         D_new = delta_project_lifted(ref_X, ref_M, D0 + eta)
         step = D_new - D0  # ambient step, exact in f32 (difference of deltas)
@@ -520,6 +524,79 @@ def make_delta_run_fn(problem: spmd_mod.SPMDProblem, cfg: spmd_mod.SPMDConfig,
         return _run(pr_dev, ref_dev, state, max_rounds, tol)
 
     return run
+
+
+def host_certify(problem: spmd_mod.SPMDProblem, X64: np.ndarray):
+    """Pure-numpy f64 evaluation of (global objective, global Riemannian
+    gradient norm) at a stacked iterate (N, n_max, r, dh) — the honest
+    certification step, independent of any device or reduced precision.
+
+    Shared edges appear once in each endpoint's agent block (flagged
+    outgoing/incoming); each copy contributes the gradient of its LOCAL
+    side only, so the union covers the global gradient exactly — the same
+    attribution the SPMD metrics use (validated against the central
+    evaluation in tests/test_spmd.py)."""
+    X = np.asarray(X64, np.float64)
+    N, n_max, r, dh = X.shape
+    d = dh - 1
+
+    def omega(kappa, tau, weight):
+        om = np.empty(kappa.shape + (dh,))
+        om[..., :d] = (weight * kappa)[..., None]
+        om[..., d] = weight * tau
+        return om
+
+    om_p = omega(np.asarray(problem.priv_kappa, np.float64),
+                 np.asarray(problem.priv_tau, np.float64),
+                 np.asarray(problem.priv_weight, np.float64))
+    om_s = omega(np.asarray(problem.shared_kappa, np.float64),
+                 np.asarray(problem.shared_tau, np.float64),
+                 np.asarray(problem.shared_weight, np.float64))
+
+    T = np.asarray(problem.priv_T, np.float64)
+    i_idx = np.asarray(problem.priv_i)
+    j_idx = np.asarray(problem.priv_j)
+    Xi = np.take_along_axis(X, i_idx[:, :, None, None], axis=1)
+    Xj = np.take_along_axis(X, j_idx[:, :, None, None], axis=1)
+    Res = np.einsum("qmra,qmab->qmrb", Xi, T, optimize=True) - Xj
+    Rw = Res * om_p[:, :, None, :]
+    cost = np.sum(Res * Rw)
+    G = np.zeros((N, n_max, r, dh))
+    gi = np.einsum("qmrb,qmab->qmra", Rw, T, optimize=True)
+    for a in range(N):
+        np.add.at(G[a], i_idx[a], gi[a])
+        np.add.at(G[a], j_idx[a], -Rw[a])
+
+    pub = np.take_along_axis(
+        X, np.asarray(problem.pub_idx)[:, :, None, None], axis=1
+    )
+    nbr = pub[np.asarray(problem.shared_nbr_robot),
+              np.asarray(problem.shared_nbr_slot)]
+    Xl = np.take_along_axis(
+        X, np.asarray(problem.shared_idx)[:, :, None, None], axis=1
+    )
+    Ts = np.asarray(problem.shared_T, np.float64)
+    out = np.asarray(problem.shared_outgoing)[:, :, None, None]
+    tail = np.where(out, Xl, nbr)
+    head = np.where(out, nbr, Xl)
+    Res_s = np.einsum("qmra,qmab->qmrb", tail, Ts, optimize=True) - head
+    Rw_s = Res_s * om_s[:, :, None, :]
+    cost += np.sum(Res_s * Rw_s * out)  # attribute to the outgoing side
+    contrib = np.where(
+        out, np.einsum("qmrb,qmab->qmra", Rw_s, Ts, optimize=True), -Rw_s
+    )
+    sidx = np.asarray(problem.shared_idx)
+    for a in range(N):
+        np.add.at(G[a], sidx[a], contrib[a])
+
+    # Riemannian projection: rotation block minus its normal component
+    Y = X[..., :d]
+    Gr = G[..., :d]
+    YtG = np.einsum("qnra,qnrb->qnab", Y, Gr, optimize=True)
+    sym = 0.5 * (YtG + np.swapaxes(YtG, -1, -2))
+    Gr_t = Gr - np.einsum("qnra,qnab->qnrb", Y, sym, optimize=True)
+    gradnorm = float(np.sqrt(np.sum(Gr_t**2) + np.sum(G[..., d] ** 2)))
+    return float(cost), gradnorm
 
 
 def run_delta_certified(

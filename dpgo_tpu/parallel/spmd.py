@@ -205,6 +205,10 @@ class SPMDConfig:
     # rtr_inner_control_matvecs=False program for the final stretch
     # (make_two_phase_run_fn does exactly this).
     rtr_inner_control_matvecs: bool = False
+    # tCG matmul precision: None (fast bf16 MXU passes; fine when an f64 or
+    # mixed control loop cleans up steps) or 'highest' (true f32 passes;
+    # REQUIRED for the pure-f32 certified path — see solvers/rtr.py)
+    rtr_tcg_precision: Optional[str] = None
     # Residual-form trust-region control (quadratic.cost_grad_residual): the
     # control gradient/cost are evaluated cancellation-free per edge, so the
     # control dtype's eps applies to the RESIDUAL rather than to O(kappa·|X|)
@@ -447,21 +451,35 @@ def _shared_activity_mask(problem_blk: SPMDProblem, cfg: "SPMDConfig"):
 def _edge_cost_terms(X, nbr, lp: quadratic.LocalProblem, outgoing_only: jax.Array):
     """Sum of lifted edge costs for one agent:
     private edges fully + shared edges attributed to the outgoing side, so the
-    team-wide psum equals the global objective <X Q_global, X>."""
+    team-wide psum equals the global objective <X Q_global, X>.
+
+    HIGHEST matmul precision throughout: this value feeds DECISIONS (the
+    adaptive-restart comparison cost_new > cost_prev and the reported
+    objective). On TPU, default f32 matmuls are bf16 passes (~1e-2 relative)
+    — at a cost scale of ~1e3 that turns the restart comparison into noise,
+    firing restarts at random and destroying the Nesterov momentum (measured:
+    the 10k certified phase stalls on TPU while the identical program
+    converges on CPU's true-f32 matmuls). Two small einsums per edge per
+    round — negligible next to the tCG loop."""
     d = lp.d
+    hi = jax.lax.Precision.HIGHEST
     # private
     Yi = X[lp.priv_i]
     Yj = X[lp.priv_j]
-    Ri = Yi[..., :d] @ lp.priv_T[..., :d, :d]
+    Ri = jnp.einsum("mra,mab->mrb", Yi[..., :d], lp.priv_T[..., :d, :d],
+                    precision=hi)
     rot = jnp.sum((Ri - Yj[..., :d]) ** 2, axis=(-2, -1))
-    ti = Yi[..., :d] @ lp.priv_T[..., :d, d:] + Yi[..., d:]
+    ti = jnp.einsum("mra,mab->mrb", Yi[..., :d], lp.priv_T[..., :d, d:],
+                    precision=hi) + Yi[..., d:]
     tr = jnp.sum((ti - Yj[..., d:]) ** 2, axis=(-2, -1))
     c_priv = jnp.sum(lp.priv_weight * (lp.priv_kappa * rot + lp.priv_tau * tr))
     # shared (only outgoing edges; tail = me, head = neighbor)
     Xi = X[lp.shared_idx]
-    Ri = Xi[..., :d] @ lp.shared_T[..., :d, :d]
+    Ri = jnp.einsum("mra,mab->mrb", Xi[..., :d], lp.shared_T[..., :d, :d],
+                    precision=hi)
     rot = jnp.sum((Ri - nbr[..., :d]) ** 2, axis=(-2, -1))
-    ti = Xi[..., :d] @ lp.shared_T[..., :d, d:] + Xi[..., d:]
+    ti = jnp.einsum("mra,mab->mrb", Xi[..., :d], lp.shared_T[..., :d, d:],
+                    precision=hi) + Xi[..., d:]
     tr = jnp.sum((ti - nbr[..., d:]) ** 2, axis=(-2, -1))
     w = lp.shared_weight * lp.shared_mask * outgoing_only
     c_shared = jnp.sum(w * (lp.shared_kappa * rot + lp.shared_tau * tr))
@@ -518,6 +536,8 @@ def _agent_round(
         exact_inner_hessian=cfg.rtr_exact_inner_hessian,
         inner_control_matvecs=cfg.rtr_inner_control_matvecs,
         residual_control=cfg.rtr_residual_control,
+        tcg_precision=(jax.lax.Precision.HIGHEST
+                       if cfg.rtr_tcg_precision == "highest" else None),
     )
     X_new = jnp.where(do_opt, Xopt, X0)
     outgoing_only = a_shared[5].astype(X0.dtype)
@@ -620,6 +640,10 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
             project = lifted.project_lifted_ns
         else:
             project = lifted.project_lifted_ns_mixed
+    elif dtype == jnp.float32:
+        # pure-f32 state: always Newton-Schulz — large batched f32 SVDs
+        # crash XLA:TPU (see ops/lifted.py) and NS is much faster anyway
+        project = lifted.project_lifted_ns
     else:
         project = lifted.project_lifted
 
@@ -822,11 +846,13 @@ def _gnc_residuals_sq(problem: SPMDProblem, state: SPMDState):
     all_pub = _gather_pub(X, pr.pub_idx, None)
     nbr = all_pub[pr.shared_nbr_robot, pr.shared_nbr_slot]
 
+    hi = jax.lax.Precision.HIGHEST
     Yi = jnp.take_along_axis(X, pr.priv_i[:, :, None, None], axis=1)
     Yj = jnp.take_along_axis(X, pr.priv_j[:, :, None, None], axis=1)
-    rot = jnp.sum((Yi[..., :d] @ pr.priv_T[..., :d, :d] - Yj[..., :d]) ** 2, axis=(-2, -1))
+    rot = jnp.sum((jnp.einsum("qmra,qmab->qmrb", Yi[..., :d], pr.priv_T[..., :d, :d], precision=hi) - Yj[..., :d]) ** 2, axis=(-2, -1))
     tr = jnp.sum(
-        (Yi[..., :d] @ pr.priv_T[..., :d, d:] + Yi[..., d:] - Yj[..., d:]) ** 2,
+        (jnp.einsum("qmra,qmab->qmrb", Yi[..., :d], pr.priv_T[..., :d, d:], precision=hi)
+         + Yi[..., d:] - Yj[..., d:]) ** 2,
         axis=(-2, -1),
     )
     r_sq_priv = pr.priv_kappa * rot + pr.priv_tau * tr
@@ -834,9 +860,12 @@ def _gnc_residuals_sq(problem: SPMDProblem, state: SPMDState):
     Xl = jnp.take_along_axis(X, pr.shared_idx[:, :, None, None], axis=1)
     tail = jnp.where(pr.shared_outgoing[..., None, None], Xl, nbr)
     head = jnp.where(pr.shared_outgoing[..., None, None], nbr, Xl)
-    rot_s = jnp.sum((tail[..., :d] @ pr.shared_T[..., :d, :d] - head[..., :d]) ** 2, axis=(-2, -1))
+    rot_s = jnp.sum(
+        (jnp.einsum("qmra,qmab->qmrb", tail[..., :d], pr.shared_T[..., :d, :d], precision=hi)
+         - head[..., :d]) ** 2, axis=(-2, -1))
     tr_s = jnp.sum(
-        (tail[..., :d] @ pr.shared_T[..., :d, d:] + tail[..., d:] - head[..., d:]) ** 2,
+        (jnp.einsum("qmra,qmab->qmrb", tail[..., :d], pr.shared_T[..., :d, d:], precision=hi)
+         + tail[..., d:] - head[..., d:]) ** 2,
         axis=(-2, -1),
     )
     r_sq_shared = pr.shared_kappa * rot_s + pr.shared_tau * tr_s

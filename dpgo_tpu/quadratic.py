@@ -577,10 +577,12 @@ def attach_csr_plans(
 ) -> QuadraticData:
     """Host-side: sort the private edges by each scatter destination and
     attach Pallas CSR segment-sum plans (used by q_matvec on f32 inputs).
-    No-op on non-TPU backends (the kernel only lowers on TPU)."""
+    No-op on non-TPU backends (the kernel only lowers on TPU) and for small
+    edge counts (XLA scatter wins below ~4k edges — kernel dispatch and the
+    one-hot matmul tiles dominate)."""
     import jax as _jax
 
-    if _jax.default_backend() != "tpu":
+    if _jax.default_backend() != "tpu" or qd.off_E.shape[0] < 4096:
         return qd
     from dpgo_tpu.ops import pallas_segsum as _ps
 
@@ -620,7 +622,8 @@ def rie_grad_norm(qd: QuadraticData, X: jax.Array) -> jax.Array:
     return lifted.norm(rie_grad(qd, X))
 
 
-def rie_hess_vec(qd: QuadraticData, X: jax.Array, S: jax.Array, V: jax.Array) -> jax.Array:
+def rie_hess_vec(qd: QuadraticData, X: jax.Array, S: jax.Array, V: jax.Array,
+                 precision=None) -> jax.Array:
     """Riemannian Hessian action for the embedded product manifold.
 
     For a Stiefel block with Euclidean gradient g_i and symmetric
@@ -632,7 +635,7 @@ def rie_hess_vec(qd: QuadraticData, X: jax.Array, S: jax.Array, V: jax.Array) ->
     inside RTRNewton; the reference supplies EucHessianEta = V Q at
     QuadraticProblem.cpp:49-54.)
     """
-    HV = q_matvec(qd, V)
+    HV = q_matvec(qd, V, precision=precision)
     corr = lifted.rotations(V) @ S
     Hrot = lifted.stiefel_proj_tangent(
         lifted.rotations(X), lifted.rotations(HV) - corr
@@ -641,14 +644,17 @@ def rie_hess_vec(qd: QuadraticData, X: jax.Array, S: jax.Array, V: jax.Array) ->
 
 
 def hess_correction(X: jax.Array, eg: jax.Array) -> jax.Array:
-    """S_i = sym(Y_i^T g_i^rot): (n, d, d), the Weingarten correction term."""
+    """S_i = sym(Y_i^T g_i^rot): (n, d, d), the Weingarten correction term.
+    HIGHEST precision: per-pose tiny matmuls feeding the Hessian model."""
     YtG = jnp.einsum(
-        "nra,nrb->nab", lifted.rotations(X), lifted.rotations(eg)
+        "nra,nrb->nab", lifted.rotations(X), lifted.rotations(eg),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return 0.5 * (YtG + jnp.swapaxes(YtG, -1, -2))
 
 
-def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array) -> jax.Array:
+def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array,
+                  precision=None) -> jax.Array:
     """Preconditioner solve + tangent projection at X (reference:
     QuadraticProblem.cpp:56-69). With a block-tridiagonal factorization
     attached, the row-vector system out P = V becomes P out^T = V^T per pose
@@ -659,7 +665,8 @@ def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array) -> jax.Array:
 
         out = jnp.swapaxes(_bt.solve(qd.btf, jnp.swapaxes(V, -1, -2)), -1, -2)
     else:
-        out = jnp.einsum("nrb,nbc->nrc", V, qd.precond_inv)
+        out = jnp.einsum("nrb,nbc->nrc", V, qd.precond_inv,
+                         precision=precision)
     return lifted.proj_tangent(X, out)
 
 

@@ -75,6 +75,7 @@ def _tcg(
     grad: jax.Array,
     radius: jax.Array,
     max_inner: int,
+    precision=None,
 ) -> TCGResult:
     """Preconditioned Steihaug-Toint truncated CG for
     min_eta <grad, eta> + 0.5 <eta, H eta>  s.t. ||eta||_P <= radius."""
@@ -82,7 +83,7 @@ def _tcg(
     zero = jnp.zeros_like(grad)
 
     r0 = grad
-    z0 = quadratic.apply_precond(qd, X, r0)
+    z0 = quadratic.apply_precond(qd, X, r0, precision=precision)
     delta0 = -z0
     r_r0 = lifted.inner(r0, r0)
     z_r0 = lifted.inner(z0, r0)
@@ -97,7 +98,7 @@ def _tcg(
 
     def body(c):
         j, eta, Heta, r, z, delta, e_Pe, e_Pd, d_Pd, z_r, done, boundary = c
-        Hd = quadratic.rie_hess_vec(qd, X, S, delta)
+        Hd = quadratic.rie_hess_vec(qd, X, S, delta, precision=precision)
         d_Hd = lifted.inner(delta, Hd)
         alpha = z_r / d_Hd
         e_Pe_new = e_Pe + 2.0 * alpha * e_Pd + alpha * alpha * d_Pd
@@ -115,7 +116,7 @@ def _tcg(
         r_r_n = lifted.inner(r_n, r_n)
         resid_ok = jnp.sqrt(r_r_n) <= r_target
 
-        z_n = quadratic.apply_precond(qd, X, r_n)
+        z_n = quadratic.apply_precond(qd, X, r_n, precision=precision)
         z_r_n = lifted.inner(z_n, r_n)
         beta = z_r_n / z_r
         delta_n = -z_n + beta * delta
@@ -150,7 +151,8 @@ def _tcg(
 def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only: bool,
                    qd_inner=None, exact_inner_hessian: bool = True,
                    inner_control_matvecs: bool = False,
-                   residual_control: bool = False):
+                   residual_control: bool = False,
+                   tcg_precision=None):
     """One outer RTR iteration: tCG, rho test, radius update.
 
     qd_inner: optionally a lower-precision copy of qd (mixed precision): the
@@ -178,6 +180,7 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
             state.grad.astype(dt),
             state.radius.astype(dt),
             max_inner,
+            precision=tcg_precision,
         )
         eta = lifted.proj_tangent(state.X, tcg.eta.astype(state.X.dtype))
         if exact_inner_hessian:
@@ -187,7 +190,8 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
         tcg = TCGResult(eta=eta, Heta=Heta, hit_boundary=tcg.hit_boundary,
                         num_iters=tcg.num_iters)
     else:
-        tcg = _tcg(qd, state.X, state.S, state.grad, state.radius, max_inner)
+        tcg = _tcg(qd, state.X, state.S, state.grad, state.radius, max_inner,
+                   precision=tcg_precision)
     X_new = lifted.retract(state.X, tcg.eta)
     if residual_control:
         # Residual-mode control: the new cost comes from the
@@ -341,7 +345,8 @@ def _initial_state(qd, Y0, radius, qd_inner=None, inner_control_matvecs=False,
     jax.jit,
     static_argnames=("max_iterations", "max_inner", "shrink_until_accept",
                      "inner_dtype", "exact_inner_hessian",
-                     "inner_control_matvecs", "residual_control"),
+                     "inner_control_matvecs", "residual_control",
+                     "tcg_precision"),
 )
 def rtr_solve(
     qd: QuadraticData,
@@ -355,6 +360,7 @@ def rtr_solve(
     exact_inner_hessian: bool = True,
     inner_control_matvecs: bool = False,
     residual_control: bool = False,
+    tcg_precision=None,
 ) -> Tuple[jax.Array, RTRStats]:
     """Riemannian trust-region solve of the lifted PGO quadratic.
 
@@ -366,6 +372,14 @@ def rtr_solve(
     inner_dtype (e.g. jnp.float32): run the tCG inner loop in reduced
     precision while keeping trust-region control in Y0's dtype — see
     _rtr_iteration. None = single precision level throughout.
+
+    tcg_precision: matmul precision for the tCG inner loop (None or
+    jax.lax.Precision.HIGHEST). On TPU, default f32 matmuls run as bf16 MXU
+    passes — with an f64 (or mixed) control loop the trust region absorbs
+    the resulting step-quality loss, but in the PURE-f32 certified path the
+    bf16 Hessian noise floors the reachable gradient norm well above the
+    target (measured: 10k stalls at g~5.7 vs converging on CPU's true-f32
+    matmuls) — pass HIGHEST there.
 
     residual_control=True (requires qd.res, see quadratic.ResidualData):
     control cost differences come from the cancellation-free identity and
@@ -397,7 +411,8 @@ def rtr_solve(
                                  shrink_only=True, qd_inner=qd_inner,
                                  exact_inner_hessian=exact_inner_hessian,
                                  inner_control_matvecs=inner_control_matvecs,
-                                 residual_control=residual_control)
+                                 residual_control=residual_control,
+                                 tcg_precision=tcg_precision)
             # on rejection: keep the original iterate, shrink the radius by 4
             nxt = nxt._replace(
                 radius=jnp.where(nxt.accepted, nxt.radius, 0.25 * state.radius)
@@ -420,7 +435,8 @@ def rtr_solve(
                                   shrink_only=False, qd_inner=qd_inner,
                                   exact_inner_hessian=exact_inner_hessian,
                                   inner_control_matvecs=inner_control_matvecs,
-                                  residual_control=residual_control)
+                                  residual_control=residual_control,
+                                  tcg_precision=tcg_precision)
 
         final = jax.lax.while_loop(cond, body, state0)
 

@@ -121,6 +121,59 @@ def main():
           file=sys.stderr)
     run = spmd.make_run_fn(problem, cfg, mesh=None)
 
+    # Certified pipeline: phase 1 = plain f32 bulk descent (this engine),
+    # phase 2 = anchored delta-state engine (parallel/delta.py) below the
+    # f32 quantization floor, final HONEST certification = pure-numpy f64
+    # evaluation on the host. Reports total wall time to certified
+    # gradnorm < DPGO_SCALE_TOL. Requires dtype=f32.
+    if os.environ.get("DPGO_SCALE_CERTIFIED") == "1":
+        import dataclasses as _dc2
+
+        from dpgo_tpu.parallel import delta as delta_mod
+
+        tol = float(os.environ.get("DPGO_SCALE_TOL", "1e-2"))
+        coarse = float(os.environ.get("DPGO_SCALE_COARSE_TOL", str(10 * tol)))
+        chunk = int(os.environ.get("DPGO_SCALE_CHUNK", "25"))
+        # pure-f32 state: accurate trust-region control comes from the
+        # residual form (HIGHEST-precision, cancellation-free), not from
+        # mixed-precision machinery
+        cfg = _dc2.replace(
+            cfg, rtr_residual_control=True, rtr_inner_control_matvecs=False,
+            rtr_inner_dtype=None, rtr_tcg_precision="highest",
+        )
+        run_cert = spmd.make_run_fn(problem, cfg, mesh=None)
+        t0 = time.perf_counter()
+        # phase 1: bulk descent on the f32 engine to the coarse tolerance
+        s1, total1 = state, 0
+        m1 = None
+        while total1 < rounds:
+            s1, m1, r1 = run_cert(s1, min(chunk, rounds - total1), coarse)
+            jax.tree.map(np.asarray, s1)
+            total1 += int(r1)
+            if float(m1.gradnorm) < coarse:
+                break
+        t1 = time.perf_counter() - t0
+        print(f"phase1 (f32 bulk): {total1} rounds, {t1:.1f}s, "
+              f"device gradnorm={float(m1.gradnorm):.4f}", file=sys.stderr)
+        # phase 2: delta engine to the certified tolerance
+        X64 = np.asarray(s1.X, np.float64)
+        t0b = time.perf_counter()
+        X_final, info = delta_mod.run_delta_certified(
+            problem, X64, cfg, tol=0.9 * tol, mesh=None, chunk=chunk,
+            max_rounds=rounds, verbose=True,
+        )
+        t2 = time.perf_counter() - t0b
+        cost_h, gnorm_h = delta_mod.host_certify(problem, X_final)
+        total_s = t1 + t2
+        print(
+            f"CERTIFIED platform={jax.devices()[0].platform} n={num_poses} "
+            f"agents={num_agents} phase1_rounds={total1} "
+            f"phase2_rounds={info['rounds']} wall_s={total_s:.2f} "
+            f"host_f64_gradnorm={gnorm_h:.6f} host_f64_cost={cost_h:.2f} "
+            f"certified={'YES' if gnorm_h < tol else 'NO'}"
+        )
+        return
+
     # Single-execution mode: at 100k scale the tunnel's TPU worker reliably
     # crashes on the SECOND execution of this program (first executions —
     # of any length under the watchdog — always succeed, and remote compiles

@@ -163,3 +163,26 @@ def test_delta_engine_beats_f32_floor():
 
     assert g32 > tol, f"f32 floor unexpectedly below tol: {g32}"
     assert gd < tol, f"delta engine failed to certify: {gd}"
+
+
+def test_host_certify_matches_central_evaluation():
+    """host_certify (pure numpy f64) equals the central-evaluation
+    cost/gradnorm (tested on smallGrid3D incl. backward + shared edges)."""
+    meas, n = read_g2o_file("/root/reference/data/smallGrid3D.g2o")
+    r, N = 5, 4
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=N, r=r)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    X_stack = np.zeros((N, problem.n_max, r, 4))
+    for a, (s, e) in enumerate(ranges):
+        X_stack[a, : e - s] = X0[s:e]
+        X_stack[a, e - s:] = np.asarray(
+            lifted.identity_lifted(problem.n_max - (e - s), r, 3)
+        )
+    cost, gnorm = delta_mod.host_certify(problem, X_stack)
+    qd_central = build_central_evaluation(meas, n, r)
+    cost_c = float(quadratic.cost(qd_central, jnp.asarray(X0)))
+    gnorm_c = float(quadratic.rie_grad_norm(qd_central, jnp.asarray(X0)))
+    np.testing.assert_allclose(cost, 2 * cost_c, rtol=1e-10)
+    np.testing.assert_allclose(gnorm, gnorm_c, rtol=1e-9)
