@@ -82,7 +82,9 @@ def run_centralized(meas, n, verbose=False):
             tol=1e-6 if mixed else 1e-10,
         )
         X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
-        qd = quadratic.build_quadratic_data(problem, jnp.zeros((1, RANK, d + 1)), r=RANK)
+        qd = quadratic.build_quadratic_data(
+            problem, jnp.zeros((1, RANK, d + 1)), r=RANK, precond="auto"
+        )
         # Pallas CSR segment-sum for the gather-path (non-laneable) edges;
         # no-op off TPU / when nearly all edges are laneable
         qd = quadratic.attach_csr_plans(qd)

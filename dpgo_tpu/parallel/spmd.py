@@ -216,10 +216,11 @@ class SPMDConfig:
     # f64-class gradient norms with zero f64 tensor kernels — the 100k-scale
     # path. Implies inner-control-matvec semantics for the cost decrease.
     rtr_residual_control: bool = False
-    # preconditioner for the local solves: 'jacobi' (block-diagonal) or
-    # 'tridiag' (cyclic-reduction factorization of the odometry band +
-    # diagonal — Cholmod-class quality, see ops/block_tridiag.py)
-    precond: str = "jacobi"
+    # preconditioner for the local solves: 'auto' (tridiag when the odometry
+    # lane exists and the block is small enough that the cyclic-reduction
+    # solve pays off, else block-Jacobi — see quadratic.build_q_data),
+    # 'jacobi', or 'tridiag'
+    precond: str = "auto"
     # elastic membership: keep using the last known (frozen) pose of an
     # inactive neighbor instead of dropping its shared edges (reference:
     # `useInactiveNeighbors`, PoseGraph.cpp:632-635)

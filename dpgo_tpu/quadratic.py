@@ -326,6 +326,16 @@ def build_q_data(
     # (odometry coupling + all diagonal blocks) — SPD by construction since
     # it is a sum of per-edge PSD terms plus the shift; far closer to the
     # reference's full Cholmod LDL^T (PoseGraph.cpp:598-613) in quality.
+    # 'auto': tridiag when the odometry lane exists and the chain is short
+    # enough that the O(log n)-depth cyclic-reduction solve pays for itself
+    # (measured: tridiag cuts sphere2500 tCG iterations 413 -> 288, but at
+    # 100k the depth-17 solve costs more than it saves — docs/PERF.md).
+    if precond == "auto":
+        precond = (
+            "tridiag"
+            if band_E is not None and 1 in offs and 1 < n <= 20_000
+            else "jacobi"
+        )
     shifted = diag + precond_shift * jnp.eye(dh, dtype=dtype)
     btf = None
     if precond == "tridiag" and band_E is not None and 1 in offs and n > 1:
