@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dpgo_tpu import log
 from dpgo_tpu import quadratic
 from dpgo_tpu.io.logger import PGOLogger
 from dpgo_tpu.measurements import (
@@ -292,7 +293,7 @@ class PGOAgent:
                 )
                 reject += 1
         if self.params.verbose:
-            print(f"Reject {reject} local loop closures.")
+            log.info("Reject %d local loop closures.", reject)
         return T
 
     def initialize_in_global_frame(self, T_world_robot: np.ndarray) -> None:
@@ -677,9 +678,10 @@ class PGOAgent:
             error_threshold=cbar,
         )
         if self.params.verbose:
-            print(
-                f"Robot {self.id} attempts initialization from neighbor "
-                f"{neighbor_id}: finds {len(inliers)}/{n} inliers."
+            log.info(
+                "Robot %d attempts initialization from neighbor %d: "
+                "finds %d/%d inliers.",
+                self.id, neighbor_id, len(inliers), n,
             )
         if len(inliers) < self.params.robust_init_min_inliers:
             return None
@@ -706,9 +708,10 @@ class PGOAgent:
             R_vec, error_threshold=max_rotation_error
         )
         if self.params.verbose:
-            print(
-                f"Robot {self.id} attempts initialization from neighbor "
-                f"{neighbor_id}: finds {len(inliers)}/{len(R_vec)} inliers."
+            log.info(
+                "Robot %d attempts initialization from neighbor %d: "
+                "finds %d/%d inliers.",
+                self.id, neighbor_id, len(inliers), len(R_vec),
             )
         if len(inliers) < self.params.robust_init_min_inliers:
             return None

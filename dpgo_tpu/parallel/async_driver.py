@@ -20,6 +20,7 @@ from typing import List, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from dpgo_tpu import log
 from dpgo_tpu import quadratic
 from dpgo_tpu.agent import PGOAgent
 from dpgo_tpu.measurements import RelativeSEMeasurement
@@ -121,9 +122,9 @@ def run_asynchronous_rbcd(
     gradnorm = float(quadratic.rie_grad_norm(qd_central, Xj))
     total_iters = sum(a.iteration_number for a in agents)
     if verbose:
-        print(
-            f"async: {total_iters} total iterations in {elapsed:.2f}s, "
-            f"cost={cost:.5g}, gradnorm={gradnorm:.5g}"
+        log.info(
+            "async: %d total iterations in %.2fs, cost=%.5g, gradnorm=%.5g",
+            total_iters, elapsed, cost, gradnorm,
         )
     return AsyncResult(
         elapsed_s=elapsed,

@@ -16,7 +16,7 @@ from typing import List, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from dpgo_tpu import quadratic
+from dpgo_tpu import log, quadratic
 from dpgo_tpu.agent import PGOAgent
 from dpgo_tpu.measurements import EdgeArrays, RelativeSEMeasurement
 from dpgo_tpu.ops import lifted
@@ -178,9 +178,9 @@ def run_synchronous_rbcd(
         cost_trace.append(cost)
         gradnorm_trace.append(gradnorm)
         if verbose:
-            print(
-                f"Iter = {it} | robot = {selected} | "
-                f"cost = {cost:.5g} | gradnorm = {gradnorm:.5g}"
+            log.info(
+                "Iter = %d | robot = %d | cost = %.5g | gradnorm = %.5g",
+                it, selected, cost, gradnorm,
             )
         if robust:
             # distributed termination: every active agent ready + enough

@@ -12,6 +12,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from dpgo_tpu import log
 from dpgo_tpu import quadratic
 from dpgo_tpu.measurements import (
     EdgeArrays,
@@ -133,7 +134,7 @@ def solve_robust_pgo(
     barc_sq = barc * barc
     mu_init = barc_sq / (2 * r_sq.max() - barc_sq)
     if params.verbose:
-        print(f"[solve_robust_pgo] initial mu: {mu_init}")
+        log.info("[solve_robust_pgo] initial mu: %s", mu_init)
 
     if mu_init > 0:
         cost = RobustCost(
@@ -156,7 +157,7 @@ def solve_robust_pgo(
                 else:
                     num_und += 1
             if params.verbose:
-                print(
+                log.info(
                     f"[solve_robust_pgo] iter {it}: {num_in} inliers, "
                     f"{num_out} outliers, {num_und} undecided"
                 )

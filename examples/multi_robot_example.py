@@ -18,6 +18,10 @@ from dpgo_tpu.io.g2o import read_g2o_file
 from dpgo_tpu.parallel.simulation import run_synchronous_rbcd
 from dpgo_tpu.types import PGOAgentParameters, ROptParameters
 
+from dpgo_tpu import log
+
+log.enable()
+
 
 def main() -> None:
     if len(sys.argv) < 3:

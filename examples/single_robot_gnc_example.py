@@ -17,6 +17,10 @@ from dpgo_tpu.io.g2o import read_g2o_file
 from dpgo_tpu.solvers.pgo import SolveRobustPGOParams, solve_robust_pgo
 from dpgo_tpu.types import ROptParameters, RobustCostParameters, RobustCostType
 
+from dpgo_tpu import log
+
+log.enable()
+
 
 def main() -> None:
     if len(sys.argv) < 2:

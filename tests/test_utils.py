@@ -20,3 +20,22 @@ def test_write_matrix(tmp_path):
     write_matrix_to_file(M, path)
     M2 = np.loadtxt(path, delimiter=",")
     np.testing.assert_allclose(M, M2, atol=1e-15)
+
+
+def test_log_check_and_enable():
+    """glog-style logging shim (reference: glog LOG/CHECK usage, SURVEY §5.5):
+    CHECK raises with the message; enable() is idempotent."""
+    import logging
+
+    import pytest as _pytest
+
+    from dpgo_tpu import log
+
+    log.check(True, "fine")
+    with _pytest.raises(AssertionError, match="CHECK failed: bad thing 7"):
+        log.check(False, "bad thing %d", 7)
+    log.enable(logging.DEBUG)
+    log.enable(logging.INFO)  # idempotent: still exactly one stderr handler
+    handlers = [h for h in log.logger.handlers
+                if getattr(h, "_dpgo_stderr", False)]
+    assert len(handlers) == 1
