@@ -608,6 +608,7 @@ def run_delta_certified(
     chunk: int = 25,
     max_rounds: int = 2000,
     verbose: bool = False,
+    crash_retries: int = 0,
 ):
     """Host driver: delta rounds in chunks with f64 re-anchoring between
     chunks. Returns (X_final64, info) with the device-metric trace; callers
@@ -620,10 +621,23 @@ def run_delta_certified(
     total = 0
     gn = float("inf")
     trace = []
+    failures = 0
     while total < max_rounds and gn >= tol:
-        state, metrics, rounds = run(ref, state, min(chunk, max_rounds - total),
-                                     tol)
-        total += int(rounds)
+        try:
+            state, metrics, rounds = run(
+                ref, state, min(chunk, max_rounds - total), tol
+            )
+            total += int(rounds)
+        except Exception:  # tunnel TPU worker crash: recover and replay
+            failures += 1
+            if failures > crash_retries:
+                raise
+            import time as _time
+
+            _time.sleep(75)
+            # state/ref are host-backed after every re-anchor — replay
+            state = jax.tree.map(jnp.asarray, jax.tree.map(np.asarray, state))
+            continue
         gn = float(metrics.gradnorm)
         trace.append({"rounds": total, "gradnorm": gn,
                       "cost": float(metrics.cost)})

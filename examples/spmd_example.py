@@ -4,7 +4,8 @@ program over a device mesh.
 
 Usage: python examples/spmd_example.py [# agents] [input .g2o file] [mode]
 
-mode: all (parallel block updates, default) | greedy | uniform.
+mode: all (parallel block updates, default) | greedy | uniform | async
+(semantic-async: Poisson-thinned per-agent updates; acceleration off).
 With multiple devices the agents shard over the mesh and public-pose
 exchange rides the ICI; on one device the same program runs fully batched.
 """
@@ -49,7 +50,8 @@ def main() -> None:
         mesh = Mesh(np.array(devices), ("agents",))
         print(f"sharding agents over {len(devices)} devices")
 
-    cfg = spmd.SPMDConfig(mode=mode, acceleration=True, rtr_iterations=1,
+    cfg = spmd.SPMDConfig(mode=mode, acceleration=(mode != "async"),
+                          rtr_iterations=1,
                           rtr_gradnorm_tol=1e-2 / (2 * np.sqrt(num_agents)))
     run = spmd.make_run_fn(problem, cfg, mesh=mesh)
     total, g = 0, float("inf")

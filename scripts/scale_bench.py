@@ -144,12 +144,28 @@ def main():
         run_cert = spmd.make_run_fn(problem, cfg, mesh=None)
         t0 = time.perf_counter()
         # phase 1: bulk descent on the f32 engine to the coarse tolerance
+        # (with tunnel-crash replay from the last materialized state, as in
+        # the plain scale loop below)
         s1, total1 = state, 0
         m1 = None
+        s1_host = None
+        failures = 0
         while total1 < rounds:
-            s1, m1, r1 = run_cert(s1, min(chunk, rounds - total1), coarse)
-            jax.tree.map(np.asarray, s1)
-            total1 += int(r1)
+            try:
+                nxt, m1, r1 = run_cert(s1, min(chunk, rounds - total1), coarse)
+                s1_host = jax.tree.map(np.asarray, nxt)
+                s1 = nxt
+                total1 += int(r1)
+            except Exception as e:
+                failures += 1
+                if failures > 6:
+                    raise
+                print(f"phase1 chunk failed ({type(e).__name__}); retrying",
+                      file=sys.stderr)
+                time.sleep(75)
+                s1 = (jax.tree.map(jnp.asarray, s1_host)
+                      if s1_host is not None else state)
+                continue
             if float(m1.gradnorm) < coarse:
                 break
         t1 = time.perf_counter() - t0
@@ -160,7 +176,7 @@ def main():
         t0b = time.perf_counter()
         X_final, info = delta_mod.run_delta_certified(
             problem, X64, cfg, tol=0.9 * tol, mesh=None, chunk=chunk,
-            max_rounds=rounds, verbose=True,
+            max_rounds=rounds, verbose=True, crash_retries=6,
         )
         t2 = time.perf_counter() - t0b
         cost_h, gnorm_h = delta_mod.host_certify(problem, X_final)

@@ -1,6 +1,11 @@
 """Cross-dataset smoke/parity: the centralized and distributed solvers agree
 on the bundled reference datasets (SURVEY.md §4 test plan: numerical parity
-across the .g2o suite)."""
+across the .g2o suite), with converged costs pinned to the committed
+regression anchors in tests/dataset_costs.json (VERDICT r2 #7; regenerate
+with scripts/gen_parity_table.py, which runs THIS module's solve)."""
+
+import json
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +19,35 @@ from dpgo_tpu.solvers import chordal as chordal_mod
 from dpgo_tpu.solvers import rtr as rtr_mod
 
 DATA = "/root/reference/data"
+
+_COSTS_PATH = os.path.join(os.path.dirname(__file__), "dataset_costs.json")
+RECORDED_COSTS = (
+    json.load(open(_COSTS_PATH)) if os.path.exists(_COSTS_PATH) else {}
+)
+
+
+def solve_case(name, tol):
+    """The canonical centralized solve for a bundled dataset — used by both
+    the parity test and the anchor generator (identical code path, so the
+    recorded costs are exactly reproducible)."""
+    meas, n = read_g2o_file(f"{DATA}/{name}")
+    d = meas[0].d
+    r = 5
+    edges = EdgeArrays.from_measurements(meas)
+    problem = quadratic.from_private_measurements(edges, n=n, d=d)
+    T = chordal_mod.chordal_initialization_arrays(edges, n=n)
+    Y_lift = jnp.asarray(lifted.fixed_stiefel_variable(d, r))
+    X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
+    relative = tol == "relative"
+    gtol = 1e-6 if relative else tol
+    qd = quadratic.build_quadratic_data(
+        problem, jnp.zeros((1, r, d + 1)), r=r, precond="tridiag"
+    )
+    X, stats = rtr_mod.rtr_solve(
+        qd, X0, gradnorm_tol=gtol, initial_radius=100.0,
+        max_iterations=200, max_inner=300,
+    )
+    return X, stats, d
 
 # (name, known optimal cost or None, gradnorm tol). sphere2500's 1687.0058
 # is the well-known SE-Sync global optimum for this dataset at the parser's
@@ -47,23 +81,8 @@ CASES = [
 
 @pytest.mark.parametrize("name,known_cost,tol", CASES)
 def test_centralized_solve_dataset(name, known_cost, tol):
-    meas, n = read_g2o_file(f"{DATA}/{name}")
-    d = meas[0].d
-    r = 5
-    edges = EdgeArrays.from_measurements(meas)
-    problem = quadratic.from_private_measurements(edges, n=n, d=d)
-    T = chordal_mod.chordal_initialization_arrays(edges, n=n)
-    Y_lift = jnp.asarray(lifted.fixed_stiefel_variable(d, r))
-    X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
+    X, stats, d = solve_case(name, tol)
     relative = tol == "relative"
-    gtol = 1e-6 if relative else tol
-    qd = quadratic.build_quadratic_data(
-        problem, jnp.zeros((1, r, d + 1)), r=r, precond="tridiag"
-    )
-    X, stats = rtr_mod.rtr_solve(
-        qd, X0, gradnorm_tol=gtol, initial_radius=100.0,
-        max_iterations=200, max_inner=300,
-    )
     if relative:
         assert float(stats.gnorm_opt) < 1e-2 * float(stats.gnorm_init), name
     else:
@@ -72,6 +91,14 @@ def test_centralized_solve_dataset(name, known_cost, tol):
     assert lifted.check_stiefel(np.asarray(X)[:, :, :d])
     if known_cost is not None:
         np.testing.assert_allclose(2 * float(stats.f_opt), known_cost, rtol=1e-6)
+    # committed regression anchor (VERDICT r2 #7): the converged cost must
+    # reproduce the recorded value to 1e-6 relative — any numerical change
+    # anywhere in the pipeline (parser, init, assembly, solver) trips this
+    if name in RECORDED_COSTS:
+        np.testing.assert_allclose(
+            2 * float(stats.f_opt), RECORDED_COSTS[name]["cost"], rtol=1e-6,
+            err_msg=f"{name}: converged cost drifted from committed anchor",
+        )
 
 
 def test_mixed_precision_cost_parity_sphere2500():
