@@ -329,11 +329,13 @@ def build_q_data(
     # 'auto': tridiag when the odometry lane exists and the chain is short
     # enough that the O(log n)-depth cyclic-reduction solve pays for itself
     # (measured: tridiag cuts sphere2500 tCG iterations 413 -> 288, but at
-    # 100k the depth-17 solve costs more than it saves — docs/PERF.md).
+    # large block sizes the deep solve costs more than it saves — and the
+    # 100k-scale factorization program destabilizes the tunneled TPU worker;
+    # docs/PERF.md).
     if precond == "auto":
         precond = (
             "tridiag"
-            if band_E is not None and 1 in offs and 1 < n <= 20_000
+            if band_E is not None and 1 in offs and 1 < n <= 5_000
             else "jacobi"
         )
     shifted = diag + precond_shift * jnp.eye(dh, dtype=dtype)
