@@ -298,8 +298,13 @@ def _delta_rtr_step(
         _accepted, attempts, _D, radius = c
         tcg = rtr_mod._tcg(
             qd, X0, S0, grad0, radius, cfg.rtr_tcg_iterations,
-            precision=(jax.lax.Precision.HIGHEST
-                       if cfg.rtr_tcg_precision == "highest" else None),
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if cfg.rtr_tcg_precision == "highest"
+                else jax.lax.Precision.HIGH
+                if cfg.rtr_tcg_precision == "high"
+                else None
+            ),
         )
         eta = lifted.proj_tangent(X0, tcg.eta)
         D_new = delta_project_lifted(ref_X, ref_M, D0 + eta)

@@ -206,8 +206,10 @@ class SPMDConfig:
     # (make_two_phase_run_fn does exactly this).
     rtr_inner_control_matvecs: bool = False
     # tCG matmul precision: None (fast bf16 MXU passes; fine when an f64 or
-    # mixed control loop cleans up steps) or 'highest' (true f32 passes;
-    # REQUIRED for the pure-f32 certified path — see solvers/rtr.py)
+    # mixed control loop cleans up steps), 'high' (3-pass bf16, ~1e-5
+    # relative), or 'highest' (true f32). The pure-f32 certified path needs
+    # at least 'high' — see solvers/rtr.py. Caution: 'highest' on 100k-scale
+    # lane einsums destabilizes the tunneled TPU worker (bisected r3).
     rtr_tcg_precision: Optional[str] = None
     # Residual-form trust-region control (quadratic.cost_grad_residual): the
     # control gradient/cost are evaluated cancellation-free per edge, so the
@@ -537,8 +539,11 @@ def _agent_round(
         exact_inner_hessian=cfg.rtr_exact_inner_hessian,
         inner_control_matvecs=cfg.rtr_inner_control_matvecs,
         residual_control=cfg.rtr_residual_control,
-        tcg_precision=(jax.lax.Precision.HIGHEST
-                       if cfg.rtr_tcg_precision == "highest" else None),
+        tcg_precision=(
+            jax.lax.Precision.HIGHEST if cfg.rtr_tcg_precision == "highest"
+            else jax.lax.Precision.HIGH if cfg.rtr_tcg_precision == "high"
+            else None
+        ),
     )
     X_new = jnp.where(do_opt, Xopt, X0)
     outgoing_only = a_shared[5].astype(X0.dtype)

@@ -52,6 +52,8 @@ class RTRState(NamedTuple):
     grad: jax.Array  # Riemannian gradient
     gnorm: jax.Array
     S: jax.Array  # Weingarten correction sym(Y^T g_euc)
+    eg: jax.Array  # Euclidean gradient at X (feeds the residual-mode
+    #              cancellation-free decrease identity 0.5<step, eg+eg'>)
     radius: jax.Array
     it: jax.Array
     accepted: jax.Array  # whether the latest step was accepted
@@ -194,24 +196,25 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
                    precision=tcg_precision)
     X_new = lifted.retract(state.X, tcg.eta)
     if residual_control:
-        # Residual-mode control: the new cost comes from the
-        # cancellation-free difference identity (below) and the new gradient
-        # from the residual-form evaluator — BOTH are accurate to
+        # Residual-mode control: the new gradient comes from the
+        # residual-form evaluator, and the cost decrease from the
+        # exact-for-quadratics identity f(X')-f(X) = 0.5<step, g + g'> with
+        # the Euclidean gradients carried in the state — both accurate to
         # ~eps·residual in the control dtype, so reference-quality (f64-
         # class) gradient norms are certifiable with pure-f32 tensor ops.
+        # (No full q_matvec here: besides costing a matvec, a HIGHEST-
+        # precision 100k-scale lane-einsum matvec reproducibly crashes the
+        # tunneled TPU worker — bisected r3.)
         qd_c = qd if qd_inner is None else qd_inner
         dt = qd_c.diag.dtype
         hi = jax.lax.Precision.HIGHEST
         D = X_new - state.X
-        qs = quadratic.q_matvec(
-            qd_c, (state.X + X_new).astype(dt), precision=hi
-        ).astype(state.X.dtype)
-        df = 0.5 * jnp.vdot(qs, D) + jnp.vdot(D, qd.G)  # f(X_new) - f(X)
-        f_new = state.fx + df
         _, eg_new = quadratic.cost_grad_residual(
             qd_c.res, X_new.astype(dt), precision=hi
         )
         eg = eg_new.astype(state.X.dtype)
+        df = 0.5 * (jnp.vdot(D, state.eg) + jnp.vdot(D, eg))
+        f_new = state.fx + df
     elif qd_inner is not None and inner_control_matvecs:
         # Cancellation-free actual decrease WITHOUT a full-precision matvec:
         # for the quadratic objective,
@@ -283,6 +286,7 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
         grad=grad_next,
         gnorm=lifted.norm(grad_next),
         S=S_next,
+        eg=jnp.where(accept, eg, state.eg),
         radius=radius_new,
         it=state.it + 1,
         accepted=accept,
@@ -314,6 +318,7 @@ def _initial_state(qd, Y0, radius, qd_inner=None, inner_control_matvecs=False,
             grad=grad,
             gnorm=lifted.norm(grad),
             S=quadratic.hess_correction(Y0, eg),
+            eg=eg,
             radius=jnp.asarray(radius, Y0.dtype),
             it=jnp.asarray(0, jnp.int32),
             accepted=jnp.asarray(False),
@@ -334,6 +339,7 @@ def _initial_state(qd, Y0, radius, qd_inner=None, inner_control_matvecs=False,
         grad=grad,
         gnorm=lifted.norm(grad),
         S=quadratic.hess_correction(Y0, eg),
+        eg=eg,
         radius=jnp.asarray(radius, Y0.dtype),
         it=jnp.asarray(0, jnp.int32),
         accepted=jnp.asarray(False),

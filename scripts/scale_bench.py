@@ -137,9 +137,11 @@ def main():
         # pure-f32 state: accurate trust-region control comes from the
         # residual form (HIGHEST-precision, cancellation-free), not from
         # mixed-precision machinery
+        tcg_prec = os.environ.get("DPGO_SCALE_TCG_PREC", "high")
         cfg = _dc2.replace(
             cfg, rtr_residual_control=True, rtr_inner_control_matvecs=False,
-            rtr_inner_dtype=None, rtr_tcg_precision="highest",
+            rtr_inner_dtype=None,
+            rtr_tcg_precision=None if tcg_prec == "none" else tcg_prec,
         )
         run_cert = spmd.make_run_fn(problem, cfg, mesh=None)
         t0 = time.perf_counter()
