@@ -27,10 +27,13 @@ matching QuadraticData's (diag + shift, band_E) layout.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class CRLevel(NamedTuple):
@@ -119,6 +122,197 @@ def factorize(D: jax.Array, E: jax.Array) -> CRFactor:
         L, U, n = L_new, U_new, n_even
 
     return CRFactor(levels=tuple(levels), root_inv=_spd_inv(D))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cr", "perm", "invp"],
+    meta_fields=["s", "nb", "n"],
+)
+@dataclasses.dataclass(frozen=True)
+class BandedFactor:
+    """Exact banded factorization of (Q + shift I) under an RCM relabeling.
+
+    The reference preconditions tCG with a Cholmod LDL^T of the FULL sparse
+    matrix (PoseGraph.cpp:598-613). Sparse LDL^T is pointer-chasing with no
+    TPU mapping — but pose ids are arbitrary labels, and under a reverse
+    Cuthill-McKee relabeling real pose graphs collapse to small bandwidth
+    (ais2klinik: 15104 -> 34; city10000: 9480 -> 182; CSAIL: 1025 -> 19).
+    Grouping s >= bandwidth consecutive relabeled poses into superblocks
+    makes the matrix block-TRIDIAGONAL in (s*dh x s*dh) superblocks — every
+    edge lands in the same or adjacent superblock — so the existing cyclic
+    reduction factors it EXACTLY: O(log(n/s)) depth, MXU-sized blocks.
+    Cholmod-LDL^T parity, the TPU way.
+
+    perm: (nb*s,) new -> old pose id (padded tail entries repeat pose 0 and
+    are masked by pad handling); invp: (n,) old -> new.
+    """
+
+    s: int
+    nb: int
+    n: int
+    perm: jax.Array  # (nb*s,) int32, clipped gather map new -> old
+    invp: jax.Array  # (n,) int32 old -> new
+    cr: CRFactor
+
+
+class BandedPlan(NamedTuple):
+    """Host-side static scatter plan for build_banded_factor (all numpy)."""
+
+    s: int
+    nb: int
+    n: int
+    dh: int
+    bandwidth: int
+    perm: np.ndarray  # (nb*s,) new -> old (clipped)
+    invp: np.ndarray  # (n,) old -> new
+    diag_k: np.ndarray  # (n,) superblock of each (old) pose
+    diag_r: np.ndarray  # (n,) row offset (poses) within the superblock
+    pad_diag: np.ndarray  # (nb, s*dh) 1.0 on padding rows' diagonal
+    # per-edge placements; masked entries carry weight 0 and clipped indices
+    ek_fwd: np.ndarray  # (m,) D-superblock of the (a, b) entry
+    er_fwd: np.ndarray  # (m,) row (pose) offset of a
+    ec_fwd: np.ndarray  # (m,) col (pose) offset of b
+    em_fwd: np.ndarray  # (m,) 1.0 iff same-superblock
+    ek_cpl: np.ndarray  # (m,) C-superblock index of the coupling entry
+    er_cpl: np.ndarray  # (m,) row (pose) offset within the coupling block
+    ec_cpl: np.ndarray  # (m,) col (pose) offset
+    et_cpl: np.ndarray  # (m,) 1.0 iff the coupling entry holds -E^T (else -E)
+    em_cpl: np.ndarray  # (m,) 1.0 iff adjacent-superblock
+    dropped: int  # edges spanning >= 2 superblocks (0 when s >= bandwidth)
+
+
+def make_banded_plan(
+    i, j, n: int, dh: int, s: Optional[int] = None, max_block: int = 1024
+) -> Optional[BandedPlan]:
+    """RCM-relabel the pose graph and plan the superblock scatter (host-side,
+    static). Returns None when the relabeled bandwidth is too large for an
+    exact factor of acceptable block size (s*dh > max_block): factor memory
+    is ~5*n*s*dh^2 floats, linear in s."""
+    import scipy.sparse as _sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee as _rcm
+
+    i = np.asarray(i, np.int64)
+    j = np.asarray(j, np.int64)
+    m = len(i)
+    A = _sp.coo_matrix((np.ones(m), (i, j)), shape=(n, n))
+    A = (A + A.T).tocsr()
+    perm_no = np.asarray(_rcm(A, symmetric_mode=True), np.int64)  # new -> old
+    invp = np.empty(n, np.int64)
+    invp[perm_no] = np.arange(n)
+    a = invp[i]
+    b = invp[j]
+    bw = int(np.abs(a - b).max()) if m else 1
+    if s is None:
+        s = max(8, ((bw + 7) // 8) * 8)
+    if s * dh > max_block:
+        return None
+    nb = (n + s - 1) // s
+    ka, ra = a // s, a % s
+    kb, rb = b // s, b % s
+    same = ka == kb
+    fwd = kb == ka + 1  # (a, b) sits in M[ka, ka+1]
+    bwd = ka == kb + 1  # (b, a) sits in M[kb, kb+1], transposed block
+    adj = fwd | bwd
+    dropped = int(m - same.sum() - adj.sum())
+    pad_diag = np.zeros((nb, s * dh))
+    flat_pad = np.arange(nb * s) >= n
+    pad_diag.reshape(nb, s, dh)[flat_pad.reshape(nb, s)] = 1.0
+    perm_pad = np.concatenate([perm_no, np.zeros(nb * s - n, np.int64)])
+    zero = np.zeros(m, np.int64)
+    return BandedPlan(
+        s=s, nb=nb, n=n, dh=dh, bandwidth=bw,
+        perm=perm_pad, invp=invp,
+        diag_k=invp // s, diag_r=invp % s, pad_diag=pad_diag,
+        ek_fwd=np.where(same, ka, zero),
+        er_fwd=np.where(same, ra, zero),
+        ec_fwd=np.where(same, rb, zero),
+        em_fwd=same.astype(np.float64),
+        ek_cpl=np.where(fwd, ka, np.where(bwd, kb, zero)),
+        er_cpl=np.where(fwd, ra, np.where(bwd, rb, zero)),
+        ec_cpl=np.where(fwd, rb, np.where(bwd, ra, zero)),
+        et_cpl=bwd.astype(np.float64),
+        em_cpl=adj.astype(np.float64),
+        dropped=dropped,
+    )
+
+
+def build_banded_factor(
+    plan: BandedPlan, shifted_diag: jax.Array, E_edges: jax.Array
+) -> BandedFactor:
+    """Assemble the superblock-tridiagonal matrix and factor it (jit-able;
+    scatter indices are static, only the block VALUES are runtime — GNC
+    reweights never recompile).
+
+    shifted_diag: (n, dh, dh) = Q's diagonal blocks + shift I (old labels).
+    E_edges: (m, dh, dh) per-edge E_k = T_k Omega_k, so Q[i, j] = -E_k and
+    Q[j, i] = -E_k^T (weights folded in — zero-weight rows vanish).
+    """
+    s, nb, n, dh = plan.s, plan.nb, plan.n, plan.dh
+    dt = shifted_diag.dtype
+    sdh = s * dh
+    ar = jnp.arange(dh, dtype=jnp.int32)
+
+    def blk_idx(k, r, c):
+        """(v,) superblock ids + (v,) pose row/col offsets -> broadcastable
+        (v, dh, dh) element index triple."""
+        K = jnp.asarray(k, jnp.int32)[:, None, None]
+        R = (jnp.asarray(r, jnp.int32)[:, None] * dh + ar)[:, :, None]
+        C = (jnp.asarray(c, jnp.int32)[:, None] * dh + ar)[:, None, :]
+        return K, R, C
+
+    D = jnp.zeros((nb, sdh, sdh), dt)
+    # diagonal blocks of every real pose, then 1.0 on padding rows
+    K, R, C = blk_idx(plan.diag_k, plan.diag_r, plan.diag_r)
+    D = D.at[K, R, C].add(shifted_diag)
+    D = D + jnp.asarray(plan.pad_diag, dt)[:, :, None] * jnp.eye(sdh, dtype=dt)
+
+    ET = jnp.swapaxes(E_edges, -1, -2)
+    # same-superblock entries: (a, b) = -E and its mirror (b, a) = -E^T
+    mf = jnp.asarray(plan.em_fwd, dt)[:, None, None]
+    K, R, C = blk_idx(plan.ek_fwd, plan.er_fwd, plan.ec_fwd)
+    D = D.at[K, R, C].add(-E_edges * mf)
+    # mirror entry (b, a) = -E^T: swapping the row/col index arrays already
+    # transposes the placement, so the VALUE stays -E
+    D = D.at[K, C, R].add(-E_edges * mf)
+
+    # adjacent-superblock coupling C[k] = M[k, k+1]; the mirror block
+    # M[k+1, k] = C[k]^T is implied by factorize's symmetric convention
+    mc = jnp.asarray(plan.em_cpl, dt)[:, None, None]
+    tc = jnp.asarray(plan.et_cpl, dt)[:, None, None]
+    val = jnp.where(tc > 0, -ET, -E_edges) * mc
+    Cb = jnp.zeros((max(nb - 1, 1), sdh, sdh), dt)
+    K, R, C = blk_idx(plan.ek_cpl, plan.er_cpl, plan.ec_cpl)
+    Cb = Cb.at[K, R, C].add(val)
+
+    # factorize expects M[k, k+1] = -E_sb[k]
+    cr = factorize(D, -Cb[: nb - 1])
+    return BandedFactor(
+        s=s, nb=nb, n=n,
+        perm=jnp.asarray(plan.perm, jnp.int32),
+        invp=jnp.asarray(plan.invp, jnp.int32),
+        cr=cr,
+    )
+
+
+def solve_banded(bf: BandedFactor, V: jax.Array) -> jax.Array:
+    """Apply the banded factor to row-vector blocks V: (n, r, dh) -> (n, r, dh).
+
+    Solves out M = V per pose block (M scalar-symmetric): permute to RCM
+    order, stack each superblock's s pose blocks into one (s*dh, r) rhs,
+    run the cyclic-reduction solve, and permute back."""
+    n, r, dh = V.shape
+    # the perm tail (padding rows) is clipped to pose 0: those rhs rows hit
+    # decoupled identity rows of M and their solutions are dropped by invp
+    Vp = V[bf.perm]
+    rhs = jnp.swapaxes(
+        Vp.reshape(bf.nb, bf.s, r, dh), 2, 3
+    ).reshape(bf.nb, bf.s * dh, r)
+    x = solve(bf.cr, rhs)
+    x = jnp.swapaxes(
+        x.reshape(bf.nb, bf.s, dh, r), 2, 3
+    ).reshape(bf.nb * bf.s, r, dh)
+    return x[bf.invp]
 
 
 def solve(factor: CRFactor, b: jax.Array) -> jax.Array:

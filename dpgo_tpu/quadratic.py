@@ -333,13 +333,41 @@ def build_q_data(
     # 100k-scale factorization program destabilizes the tunneled TPU worker;
     # docs/PERF.md).
     if precond == "auto":
-        precond = (
-            "tridiag"
-            if band_E is not None and 1 in offs and 1 < n <= 5_000
-            else "jacobi"
-        )
+        # Prefer the exact banded factor (Cholmod-LDL^T parity; measured:
+        # sphere2500 tCG 285 -> 70 iterations vs tridiag at the same
+        # optimum). Needs concrete edge indices for the host-side RCM plan;
+        # make_banded_plan refuses large relabeled bandwidths (e.g. 3D
+        # lattices at scale), falling back to tridiag (small n) / jacobi.
+        if not isinstance(problem.priv_i, jax.core.Tracer) and n > 1:
+            precond = "banded"
+        else:
+            precond = (
+                "tridiag"
+                if band_E is not None and 1 in offs and 1 < n <= 5_000
+                else "jacobi"
+            )
     shifted = diag + precond_shift * jnp.eye(dh, dtype=dtype)
     btf = None
+    if precond == "banded" and not isinstance(problem.priv_i, jax.core.Tracer):
+        # Exact (Q + shift I)^{-1} via RCM relabeling + superblock cyclic
+        # reduction (ops/block_tridiag.py BandedFactor) — Cholmod-LDL^T
+        # parity (PoseGraph.cpp:598-613). Host-side plan: needs concrete
+        # edge indices (eager / centralized path).
+        from dpgo_tpu.ops import block_tridiag as _bt
+
+        plan = _bt.make_banded_plan(
+            np.asarray(problem.priv_i), np.asarray(problem.priv_j), n, dh
+        )
+        if plan is not None:
+            btf = _bt.build_banded_factor(plan, shifted, E)
+            precond_inv = jnp.zeros((0, dh, dh), dtype)
+            return QuadraticData(
+                n=n, d=d, diag=diag,
+                off_i=off_i, off_j=off_j, off_E=off_E,
+                G=G, precond_inv=precond_inv, band_E=band_E, csr=None,
+                btf=btf, band_offsets=offs,
+            )
+        precond = "tridiag"  # bandwidth too large: fall through
     if precond == "tridiag" and band_E is not None and 1 in offs and n > 1:
         from dpgo_tpu.ops import block_tridiag as _bt
 
@@ -675,7 +703,12 @@ def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array,
     if qd.btf is not None:
         from dpgo_tpu.ops import block_tridiag as _bt
 
-        out = jnp.swapaxes(_bt.solve(qd.btf, jnp.swapaxes(V, -1, -2)), -1, -2)
+        if isinstance(qd.btf, _bt.BandedFactor):
+            out = _bt.solve_banded(qd.btf, V)
+        else:
+            out = jnp.swapaxes(
+                _bt.solve(qd.btf, jnp.swapaxes(V, -1, -2)), -1, -2
+            )
     else:
         out = jnp.einsum("nrb,nbc->nrc", V, qd.precond_inv,
                          precision=precision)

@@ -162,8 +162,8 @@ def main():
                 failures += 1
                 if failures > 6:
                     raise
-                print(f"phase1 chunk failed ({type(e).__name__}); retrying",
-                      file=sys.stderr)
+                print(f"phase1 chunk failed ({type(e).__name__}): "
+                      f"{str(e)[:300]}; retrying", file=sys.stderr)
                 time.sleep(75)
                 s1 = (jax.tree.map(jnp.asarray, s1_host)
                       if s1_host is not None else state)
