@@ -82,6 +82,10 @@ class DeltaState(NamedTuple):
     D: jax.Array  # (N, n_max, r, dh) delta of X
     DY: jax.Array  # delta of the Nesterov aux Y
     DV: jax.Array  # delta of the Nesterov aux V
+    ACC: jax.Array  # (N, n_max, r, dh) sum of anchor folds since the HOST
+    #               anchor: current point = X_base64 + ACC + D. |ACC| is the
+    #               total phase-2 displacement (small near convergence), so
+    #               its f32 resolution is far below the certification target.
     gamma: jax.Array
     it: jax.Array
     prev_cost: jax.Array  # last round's objective (adaptive restart signal)
@@ -132,7 +136,7 @@ def build_delta_ref(
 def initial_delta_state(ref: DeltaRef) -> DeltaState:
     z = jnp.zeros_like(ref.X_ref)
     return DeltaState(
-        D=z, DY=z, DV=z,
+        D=z, DY=z, DV=z, ACC=z,
         gamma=jnp.zeros((), ref.X_ref.dtype),
         it=jnp.zeros((), jnp.int32),
         prev_cost=jnp.asarray(jnp.inf, ref.X_ref.dtype),
@@ -199,6 +203,84 @@ def delta_project_lifted(X_ref, M_ref, W):
 # Residual-form cost/gradient in delta space
 # ---------------------------------------------------------------------------
 
+def _lanes_usable(problem: spmd_mod.SPMDProblem) -> bool:
+    """Host-side, static: can the banded prefix of the private edges use the
+    lane-structured residual evaluator? Requires band lanes to exist and no
+    two positive-weight banded edges of any agent sharing a (lane, i) slot —
+    the lane arrays hold one edge per slot (the Q matvec can MERGE duplicate
+    E blocks, but residuals are per-edge: res_ref differs per measurement)."""
+    nb = problem.num_band
+    if nb == 0 or not problem.band_offsets or problem.n_max <= 1:
+        return False
+    i = np.asarray(problem.priv_i[:, :nb])
+    ln = np.asarray(problem.priv_lane[:, :nb])
+    w = np.asarray(problem.priv_weight[:, :nb])
+    n = problem.n_max
+    for a in range(i.shape[0]):
+        flat = ln[a][w[a] > 0] * np.int64(n) + i[a][w[a] > 0]
+        if len(np.unique(flat)) != len(flat):
+            return False
+    return True
+
+
+def _build_lane_data(pi, pl, pT, op, res_ref, w, n: int, L: int):
+    """One agent's lane-structured banded-edge data (runtime values, static
+    shapes). Scatters the banded prefix into per-lane per-row slots; padded
+    and zero-weight edges go to a dump row. Returns
+    (T_lane (L,n,dh,dh), om_lane (L,n,dh), res_lane (L,n,r,dh))."""
+    nb = pi.shape[0]
+    dh = pT.shape[-1]
+    r = res_ref.shape[-2]
+    dt = pT.dtype
+    flat = jnp.where(w > 0, pl * n + pi, L * n)
+    T_lane = (
+        jnp.zeros((L * n + 1, dh, dh), dt).at[flat].add(pT)[:-1]
+        .reshape(L, n, dh, dh)
+    )
+    om_lane = (
+        jnp.zeros((L * n + 1, dh), dt).at[flat].add(op)[:-1].reshape(L, n, dh)
+    )
+    res_lane = (
+        jnp.zeros((L * n + 1, r, dh), dt).at[flat].add(res_ref)[:-1]
+        .reshape(L, n, r, dh)
+    )
+    return T_lane, om_lane, res_lane
+
+
+def _lane_cost_grad(lanes, offs: jax.Array, D: jax.Array):
+    """Banded-edge residual cost + Euclidean gradient via lane-structured
+    shifted dense ops — the residual-path mirror of quadratic.q_matvec's
+    band form: two batched einsums + two structured gathers, zero
+    scatter-adds. Garbage at rows without a lane edge (T_lane = 0,
+    res_lane = 0, but D[i+delta] finite) is annihilated by om_lane = 0.
+    Returns (cost, G (n,r,dh))."""
+    T_lane, om_lane, res_lane = lanes
+    L, n = om_lane.shape[:2]
+    _, r, dh = D.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    up = jnp.clip(iota[None, :] + offs[:, None], 0, n - 1)  # (L, n)
+    Dj = D[up.reshape(-1)].reshape(L, n, r, dh)
+    Res = res_lane + (
+        jnp.einsum("nrb,lnbc->lnrc", D, T_lane, precision=_HI) - Dj
+    )
+    Rw = Res * om_lane[:, :, None, :]
+    cost = jnp.vdot(Res, Rw)
+    # G[i] += Rw @ T^T (rows without an edge have Rw = 0)
+    G = jnp.einsum("lnrb,lncb->nrc", Rw, T_lane, precision=_HI)
+    # G[j] -= Rw[l, j - delta_l] (out-of-range gathers the appended zero row)
+    pad = jnp.concatenate(
+        [Rw.reshape(L * n, r, dh), jnp.zeros((1, r, dh), Rw.dtype)]
+    )
+    down = iota[None, :] - offs[:, None]  # (L, n)
+    flat = jnp.where(
+        (down >= 0) & (down < n),
+        jnp.arange(L, dtype=jnp.int32)[:, None] * n + down,
+        L * n,
+    )
+    G = G - jnp.sum(pad[flat.reshape(-1)].reshape(L, n, r, dh), axis=0)
+    return cost, G
+
+
 def _omegas(pr_blk: spmd_mod.SPMDProblem):
     d = pr_blk.d
     om_p = quadratic._omega(
@@ -213,11 +295,12 @@ def _omegas(pr_blk: spmd_mod.SPMDProblem):
 
 
 def _delta_cost_grad(
-    ref_a,  # per-agent slices of DeltaRef
-    priv,  # (i, j, T, om)
+    ref_a,  # per-agent slices of DeltaRef (REST edges when lanes are on)
+    priv,  # (i, j, T, om) — REST (non-banded) edges when lanes are on
     shared,  # (idx, T, om, outgoing)
     D: jax.Array,  # (n, r, dh) this agent's delta
     nbrD: jax.Array,  # (ms, r, dh) neighbor deltas per shared edge
+    lanes=None,  # ((T_lane, om_lane, res_lane), offs) banded-prefix lane data
 ):
     """One agent's objective pieces and Euclidean gradient at X_ref + D, all
     from residuals: Res = Res_ref + ΔRes with ΔRes edge-local in the deltas.
@@ -231,13 +314,19 @@ def _delta_cost_grad(
     m = pi.shape[0]
     Df = D.reshape(n, r * dh)
 
+    if lanes is not None:
+        lane_data, offs = lanes
+        cost, G = _lane_cost_grad(lane_data, offs, D)
+        G = G.reshape(n, r * dh)
+    else:
+        cost = jnp.zeros((), D.dtype)
+        G = jnp.zeros((n, r * dh), D.dtype)
     Di = Df[pi].reshape(m, r, dh)
     Dj = Df[pj].reshape(m, r, dh)
     Res = res_ref_p + jnp.einsum("mra,mab->mrb", Di, pT, precision=_HI) - Dj
     Rw = Res * om_p[:, None, :]
-    cost = jnp.vdot(Res, Rw)
+    cost = cost + jnp.vdot(Res, Rw)
     gi = jnp.einsum("mrb,mab->mra", Rw, pT, precision=_HI)
-    G = jnp.zeros((n, r * dh), D.dtype)
     G = G.at[pi].add(gi.reshape(m, r * dh))
     G = G.at[pj].add(-Rw.reshape(m, r * dh))
 
@@ -277,13 +366,14 @@ def _delta_rtr_step(
     D0: jax.Array,
     nbrD: jax.Array,
     cfg: spmd_mod.SPMDConfig,
+    lanes=None,
 ):
     """One shrink-until-accept RTR iteration in delta space (the reference's
     per-RBCD-step mode, QuadraticOptimizer.cpp:80-98). Returns
     (D_new, gnorm0, cost0)."""
     dtype = D0.dtype
     X0 = ref_X + D0  # f32 point: used only where relative accuracy suffices
-    cost0, eg0 = _delta_cost_grad(ref_res, priv, shared, D0, nbrD)
+    cost0, eg0 = _delta_cost_grad(ref_res, priv, shared, D0, nbrD, lanes)
     grad0 = lifted.proj_tangent(X0, eg0)
     gnorm0 = lifted.norm(grad0)
     S0 = quadratic.hess_correction(X0, eg0)
@@ -309,7 +399,7 @@ def _delta_rtr_step(
         eta = lifted.proj_tangent(X0, tcg.eta)
         D_new = delta_project_lifted(ref_X, ref_M, D0 + eta)
         step = D_new - D0  # ambient step, exact in f32 (difference of deltas)
-        _c1, eg1 = _delta_cost_grad(ref_res, priv, shared, D_new, nbrD)
+        _c1, eg1 = _delta_cost_grad(ref_res, priv, shared, D_new, nbrD, lanes)
         # exact-for-quadratics decrease: f(X′) − f(X) = ½⟨Δ, g + g′⟩ — both
         # gradients are residual-accurate, Δ is small: cancellation-free
         df = 0.5 * (jnp.vdot(step, eg0) + jnp.vdot(step, eg1))
@@ -344,14 +434,224 @@ def _delta_rtr_step(
 # The delta round + fused driver
 # ---------------------------------------------------------------------------
 
-def _delta_round(problem_blk, cfg, axis_name, agent_offset,
-                 ref_blk: DeltaRef, state: DeltaState, qd_static):
+class CarryRef(NamedTuple):
+    """Loop-carried anchor data. Unlike DeltaRef (the host I/O form), the
+    banded prefix's reference residuals live in LANE layout (res_lane) when
+    the lane path is on, and res_rest holds only the non-banded edges."""
+
+    X_ref: jax.Array  # (A, n, r, dh)
+    M_ref: jax.Array  # (A, n, d, d)
+    res_rest: jax.Array  # (A, m_rest, r, dh)
+    res_shared: jax.Array  # (A, ms, r, dh)
+    res_lane: Optional[jax.Array]  # (A, L, n, r, dh) or None
+
+
+def _nb_of(problem, use_lanes: bool) -> int:
+    return problem.num_band if use_lanes else 0
+
+
+def _make_carry_ref(pr_blk, ref_blk: DeltaRef, om_p, use_lanes: bool):
+    """DeltaRef -> CarryRef (scatter the banded prefix into lane layout)."""
+    nb = _nb_of(pr_blk, use_lanes)
+    if nb == 0:
+        return CarryRef(
+            X_ref=ref_blk.X_ref, M_ref=ref_blk.M_ref,
+            res_rest=ref_blk.res_ref_priv, res_shared=ref_blk.res_ref_shared,
+            res_lane=None,
+        )
+    L = len(pr_blk.band_offsets)
+    n = pr_blk.n_max
+
+    def one(pi, pl, w, res):
+        r, dh = res.shape[-2:]
+        flat = jnp.where(w > 0, pl * n + pi, L * n)
+        return (
+            jnp.zeros((L * n + 1, r, dh), res.dtype).at[flat].add(res)[:-1]
+            .reshape(L, n, r, dh)
+        )
+
+    res_lane = jax.vmap(one)(
+        pr_blk.priv_i[:, :nb], pr_blk.priv_lane[:, :nb],
+        pr_blk.priv_weight[:, :nb], ref_blk.res_ref_priv[:, :nb],
+    )
+    return CarryRef(
+        X_ref=ref_blk.X_ref, M_ref=ref_blk.M_ref,
+        res_rest=ref_blk.res_ref_priv[:, nb:],
+        res_shared=ref_blk.res_ref_shared,
+        res_lane=res_lane,
+    )
+
+
+def _carry_to_delta_ref(pr_blk, ref: CarryRef, use_lanes: bool) -> DeltaRef:
+    """CarryRef -> DeltaRef (gather the lane layout back to edge order).
+    Padded / zero-weight banded edges come back as 0 — their residuals are
+    never used (omega = 0)."""
+    nb = _nb_of(pr_blk, use_lanes)
+    if nb == 0:
+        return DeltaRef(
+            X_ref=ref.X_ref, res_ref_priv=ref.res_rest,
+            res_ref_shared=ref.res_shared, M_ref=ref.M_ref,
+        )
+    L = len(pr_blk.band_offsets)
+    n = pr_blk.n_max
+
+    def one(pi, pl, w, res_lane):
+        r, dh = res_lane.shape[-2:]
+        flat = jnp.where(w > 0, pl * n + pi, L * n)
+        pad = jnp.concatenate(
+            [res_lane.reshape(L * n, r, dh),
+             jnp.zeros((1, r, dh), res_lane.dtype)]
+        )
+        return pad[flat]
+
+    res_prefix = jax.vmap(one)(
+        pr_blk.priv_i[:, :nb], pr_blk.priv_lane[:, :nb],
+        pr_blk.priv_weight[:, :nb], ref.res_lane,
+    )
+    return DeltaRef(
+        X_ref=ref.X_ref,
+        res_ref_priv=jnp.concatenate([res_prefix, ref.res_rest], axis=1),
+        res_ref_shared=ref.res_shared, M_ref=ref.M_ref,
+    )
+
+
+def _build_lane_static(pr_blk, om_p, use_lanes: bool):
+    """Round-invariant per-agent lane arrays (T_lane, om_lane) or None."""
+    nb = _nb_of(pr_blk, use_lanes)
+    if nb == 0:
+        return None
+    L = len(pr_blk.band_offsets)
+    n = pr_blk.n_max
+
+    def one(pi, pl, w, pT, op):
+        dh = pT.shape[-1]
+        flat = jnp.where(w > 0, pl * n + pi, L * n)
+        T_lane = (
+            jnp.zeros((L * n + 1, dh, dh), pT.dtype).at[flat].add(pT)[:-1]
+            .reshape(L, n, dh, dh)
+        )
+        om_lane = (
+            jnp.zeros((L * n + 1, dh), op.dtype).at[flat].add(op)[:-1]
+            .reshape(L, n, dh)
+        )
+        return T_lane, om_lane
+
+    return jax.vmap(one)(
+        pr_blk.priv_i[:, :nb], pr_blk.priv_lane[:, :nb],
+        pr_blk.priv_weight[:, :nb], pr_blk.priv_T[:, :nb], om_p[:, :nb],
+    )
+
+
+def _fold_anchor(pr_blk, axis_name, ref: CarryRef, state: DeltaState,
+                 lane_static, use_lanes: bool) -> Tuple[CarryRef, DeltaState]:
+    """On-device re-anchor: fold D into the anchor ENTIRELY in delta space.
+
+    res_ref' = res_ref + ΔRes(D) (error eps·|res| — relative to the residual
+    scale, like every other delta-path quantity); M_ref' = K(D_rot) via the
+    cancellation-free _delta_K, consistent with the folded anchor by
+    construction; X_ref' = X_ref + D is only the f32 WITNESS of the anchor
+    (used where relative accuracy suffices); ACC' = ACC + D lets the host
+    reconstruct the true point as X_base64 + ACC + D without any per-fold
+    host round-trip — the tunnel-transfer cost that dominated the chunked
+    host-re-anchor driver (52 s per 25-round chunk at ~1.2 MB/s vs 0.78 s
+    per round of device compute, profiled r3)."""
+    pr = pr_blk
+    nb = _nb_of(pr, use_lanes)
+    D = state.D
+    n = pr.n_max
+    d = pr.d
+
+    # private rest edges: gather-form ΔRes
+    def dres_rest(Da, pi, pj, pT):
+        m = pi.shape[0]
+        r, dh = Da.shape[-2:]
+        Df = Da.reshape(n, r * dh)
+        Di = Df[pi].reshape(m, r, dh)
+        Dj = Df[pj].reshape(m, r, dh)
+        return jnp.einsum("mra,mab->mrb", Di, pT, precision=_HI) - Dj
+
+    res_rest = ref.res_rest + jax.vmap(dres_rest)(
+        D, pr.priv_i[:, nb:], pr.priv_j[:, nb:], pr.priv_T[:, nb:]
+    )
+
+    # lane edges: shifted-dense ΔRes in lane layout
+    res_lane = None
+    if use_lanes:
+        T_lane, _om_lane = lane_static
+        offs = jnp.asarray(pr.band_offsets, jnp.int32)
+
+        def dres_lane(Da, Tl):
+            L = Tl.shape[0]
+            r, dh = Da.shape[-2:]
+            iota = jnp.arange(n, dtype=jnp.int32)
+            up = jnp.clip(iota[None, :] + offs[:, None], 0, n - 1)
+            Dj = Da[up.reshape(-1)].reshape(L, n, r, dh)
+            # rows without an edge: T_lane = 0 and the garbage -D[i+delta]
+            # lands in slots whose omega is 0 — but here the result is
+            # STORED (not omega-gated), so zero it via the T_lane mask
+            valid = (
+                jnp.sum(jnp.abs(Tl), axis=(-2, -1), keepdims=True) > 0
+            )
+            return jnp.where(
+                valid,
+                jnp.einsum("nrb,lnbc->lnrc", Da, Tl, precision=_HI) - Dj,
+                0.0,
+            )
+
+        res_lane = ref.res_lane + jax.vmap(dres_lane)(D, T_lane)
+
+    # shared edges: both endpoint deltas
+    def gather_nbr(D_blk):
+        pub = jax.vmap(lambda Da, idx: Da[idx])(D_blk, pr.pub_idx)
+        if axis_name is not None:
+            pub = jax.lax.all_gather(pub, axis_name, axis=0, tiled=True)
+        return pub[pr.shared_nbr_robot, pr.shared_nbr_slot]
+
+    nbrD = gather_nbr(D)
+
+    def dres_shared(Da, nd, sidx, sT, so):
+        ms = sidx.shape[0]
+        r, dh = Da.shape[-2:]
+        Dl = Da.reshape(n, r * dh)[sidx].reshape(ms, r, dh)
+        out_f = so[:, None, None]
+        tailD = jnp.where(out_f, Dl, nd)
+        headD = jnp.where(out_f, nd, Dl)
+        return jnp.einsum("mra,mab->mrb", tailD, sT, precision=_HI) - headD
+
+    res_shared = ref.res_shared + jax.vmap(dres_shared)(
+        D, nbrD, pr.shared_idx, pr.shared_T, pr.shared_outgoing
+    )
+
+    M_ref = jax.vmap(
+        lambda Y, M, E: _delta_K(Y, M, E)
+    )(ref.X_ref[..., :d], ref.M_ref, D[..., :d])
+
+    new_ref = CarryRef(
+        X_ref=ref.X_ref + D, M_ref=M_ref,
+        res_rest=res_rest, res_shared=res_shared, res_lane=res_lane,
+    )
+    new_state = DeltaState(
+        D=jnp.zeros_like(D),
+        DY=state.DY - D,  # exact: difference of small deltas
+        DV=state.DV - D,
+        ACC=state.ACC + D,
+        gamma=state.gamma, it=state.it,
+        prev_cost=state.prev_cost, do_restart=state.do_restart,
+    )
+    return new_ref, new_state
+
+
+def _delta_round(problem_blk, cfg, axis_name,
+                 ref_blk: CarryRef, state: DeltaState, qd_static,
+                 lane_static, use_lanes: bool):
     pr = problem_blk
-    A = pr.priv_i.shape[0]
+    nb = _nb_of(pr, use_lanes)
     om_p, om_s = _omegas(pr)
-    a_priv = (pr.priv_i, pr.priv_j, pr.priv_T, om_p)
+    a_priv = (pr.priv_i[:, nb:], pr.priv_j[:, nb:], pr.priv_T[:, nb:],
+              om_p[:, nb:])
     a_shared = (pr.shared_idx, pr.shared_T, om_s, pr.shared_outgoing)
-    a_ref = (ref_blk.res_ref_priv, ref_blk.res_ref_shared)
+    a_ref = (ref_blk.res_rest, ref_blk.res_shared)
+    offs = jnp.asarray(pr.band_offsets, jnp.int32) if use_lanes else None
 
     def gather_nbr(D_blk):
         pub = jax.vmap(lambda Da, idx: Da[idx])(D_blk, pr.pub_idx)
@@ -362,11 +662,36 @@ def _delta_round(problem_blk, cfg, axis_name, agent_offset,
     def project_blk(W):
         return jax.vmap(delta_project_lifted)(ref_blk.X_ref, ref_blk.M_ref, W)
 
-    def one_agent(qd, Xr, Mr, rp, rs, pi, pj, pT, op, si, sT, os_, so, D0, nd):
-        return _delta_rtr_step(
-            qd, Xr, Mr, (rp, rs), (pi, pj, pT, op), (si, sT, os_, so),
-            D0, nd, cfg,
-        )
+    if use_lanes:
+        T_lane_blk, om_lane_blk = lane_static
+
+        def one_agent(qd, Xr, Mr, rp, rs, pi, pj, pT, op, si, sT, os_, so,
+                      Tl, oml, rl, D0, nd):
+            return _delta_rtr_step(
+                qd, Xr, Mr, (rp, rs), (pi, pj, pT, op), (si, sT, os_, so),
+                D0, nd, cfg, lanes=((Tl, oml, rl), offs),
+            )
+
+        def run_agents(DY, nbrD):
+            return jax.vmap(one_agent)(
+                qd_static, ref_blk.X_ref, ref_blk.M_ref, *a_ref,
+                *a_priv, *a_shared,
+                T_lane_blk, om_lane_blk, ref_blk.res_lane, DY, nbrD,
+            )
+    else:
+
+        def one_agent(qd, Xr, Mr, rp, rs, pi, pj, pT, op, si, sT, os_, so,
+                      D0, nd):
+            return _delta_rtr_step(
+                qd, Xr, Mr, (rp, rs), (pi, pj, pT, op), (si, sT, os_, so),
+                D0, nd, cfg,
+            )
+
+        def run_agents(DY, nbrD):
+            return jax.vmap(one_agent)(
+                qd_static, ref_blk.X_ref, ref_blk.M_ref, *a_ref,
+                *a_priv, *a_shared, DY, nbrD,
+            )
 
     def psum(x):
         return x if axis_name is None else jax.lax.psum(x, axis_name)
@@ -389,10 +714,7 @@ def _delta_round(problem_blk, cfg, axis_name, agent_offset,
         DY_acc = project_blk((1.0 - alpha) * state.D + alpha * state.DV)
         DY = jnp.where(restart, state.D, DY_acc)
         nbrD = gather_nbr(DY)
-        D_opt, gnorm_a, cost_a = jax.vmap(one_agent)(
-            qd_static, ref_blk.X_ref, ref_blk.M_ref, *a_ref,
-            *a_priv, *a_shared, DY, nbrD,
-        )
+        D_opt, gnorm_a, cost_a = run_agents(DY, nbrD)
         DV = jnp.where(
             restart, D_opt, project_blk(state.DV + gamma * (D_opt - DY))
         )
@@ -401,6 +723,7 @@ def _delta_round(problem_blk, cfg, axis_name, agent_offset,
             D=D_opt,
             DY=jnp.where(restart, D_opt, DY),
             DV=DV,
+            ACC=state.ACC,
             gamma=jnp.where(restart, 0.0, gamma).astype(state.gamma.dtype),
             it=state.it + 1,
             prev_cost=cost_now,
@@ -408,12 +731,9 @@ def _delta_round(problem_blk, cfg, axis_name, agent_offset,
         )
     else:
         nbrD = gather_nbr(state.D)
-        D_opt, gnorm_a, cost_a = jax.vmap(one_agent)(
-            qd_static, ref_blk.X_ref, ref_blk.M_ref, *a_ref,
-            *a_priv, *a_shared, state.D, nbrD,
-        )
+        D_opt, gnorm_a, cost_a = run_agents(state.D, nbrD)
         new_state = DeltaState(
-            D=D_opt, DY=D_opt, DV=D_opt,
+            D=D_opt, DY=D_opt, DV=D_opt, ACC=state.ACC,
             gamma=state.gamma, it=state.it + 1,
             prev_cost=psum(jnp.sum(cost_a)),
             do_restart=jnp.asarray(False),
@@ -435,49 +755,71 @@ def _delta_round(problem_blk, cfg, axis_name, agent_offset,
 
 
 def make_delta_run_fn(problem: spmd_mod.SPMDProblem, cfg: spmd_mod.SPMDConfig,
-                      mesh: Optional[Mesh] = None):
+                      mesh: Optional[Mesh] = None, reanchor_every: int = 0,
+                      use_lanes: Optional[bool] = None):
     """Fused run-to-tolerance driver for the delta engine: all rounds as one
-    XLA while_loop (like spmd.make_run_fn). Returns
-    run(ref, state, max_rounds, tol) -> (state, metrics, rounds)."""
+    XLA while_loop (like spmd.make_run_fn), with the anchor folded ON DEVICE
+    every `reanchor_every` rounds (0 = never) — no host round-trips inside a
+    call. Returns run(ref, state, max_rounds, tol) ->
+    (state, ref', metrics, rounds); pass ref' to the next call (the anchor
+    advanced on device; the true iterate is host_anchor + state.ACC +
+    state.D)."""
     N = problem.num_agents
+    if use_lanes is None:
+        use_lanes = _lanes_usable(problem)
 
-    def make_loop(axis_name, agent_offset, pr_blk, ref_blk, qd_static):
+    def make_loop(axis_name, pr_blk, qd_static, lane_static):
         def cond(c):
-            _state, metrics, rounds, max_rounds, tol = c
+            _state, _ref, metrics, rounds, max_rounds, tol = c
             return jnp.logical_and(
                 rounds < max_rounds, metrics.gradnorm >= tol
             )
 
         def body(c):
-            state, _m, rounds, max_rounds, tol = c
+            state, ref, _m, rounds, max_rounds, tol = c
             new_state, metrics = _delta_round(
-                pr_blk, cfg, axis_name, agent_offset, ref_blk, state,
-                qd_static,
+                pr_blk, cfg, axis_name, ref, state, qd_static,
+                lane_static, use_lanes,
             )
-            return (new_state, metrics, rounds + 1, max_rounds, tol)
+            if reanchor_every > 0:
+                ref, new_state = jax.lax.cond(
+                    new_state.it % reanchor_every == 0,
+                    lambda r, s: _fold_anchor(
+                        pr_blk, axis_name, r, s, lane_static, use_lanes
+                    ),
+                    lambda r, s: (r, s),
+                    ref, new_state,
+                )
+            return (new_state, ref, metrics, rounds + 1, max_rounds, tol)
 
         return cond, body
 
-    def init_carry(state, max_rounds, tol):
-        dtype = state.D.dtype
-        m0 = spmd_mod.RoundMetrics(
+    def init_metrics(dtype):
+        return spmd_mod.RoundMetrics(
             cost=jnp.asarray(jnp.inf, dtype),
             gradnorm=jnp.asarray(jnp.inf, dtype),
             max_rel_change=jnp.asarray(jnp.inf, dtype),
         )
-        return (state, m0, jnp.asarray(0, jnp.int32),
-                jnp.asarray(max_rounds, jnp.int32), jnp.asarray(tol, dtype))
+
+    def body_run(pr_blk, ref_blk, state_blk, max_rounds, tol, axis_name):
+        om_p, _ = _omegas(pr_blk)
+        qd_static = spmd_mod._build_qd_static(pr_blk, cfg)
+        lane_static = _build_lane_static(pr_blk, om_p, use_lanes)
+        carry_ref = _make_carry_ref(pr_blk, ref_blk, om_p, use_lanes)
+        cond, body = make_loop(axis_name, pr_blk, qd_static, lane_static)
+        state, carry_ref, metrics, rounds, *_ = jax.lax.while_loop(
+            cond, body,
+            (state_blk, carry_ref, init_metrics(state_blk.D.dtype),
+             jnp.asarray(0, jnp.int32), jnp.asarray(max_rounds, jnp.int32),
+             jnp.asarray(tol, state_blk.D.dtype)),
+        )
+        ref_out = _carry_to_delta_ref(pr_blk, carry_ref, use_lanes)
+        return state, ref_out, metrics, rounds
 
     if mesh is None:
         @jax.jit
         def _run(pr, ref, state, max_rounds, tol):
-            qd_static = spmd_mod._build_qd_static(pr, cfg)
-            cond, body = make_loop(None, jnp.asarray(0, jnp.int32), pr, ref,
-                                   qd_static)
-            state, metrics, rounds, *_ = jax.lax.while_loop(
-                cond, body, init_carry(state, max_rounds, tol)
-            )
-            return state, metrics, rounds
+            return body_run(pr, ref, state, max_rounds, tol, None)
 
         def run(ref, state, max_rounds, tol, problem=problem):
             return _run(problem, ref, state, max_rounds, tol)
@@ -486,19 +828,12 @@ def make_delta_run_fn(problem: spmd_mod.SPMDProblem, cfg: spmd_mod.SPMDConfig,
 
     n_dev = mesh.devices.size
     assert N % n_dev == 0
-    A = N // n_dev
     blk = P("agents")
     rep = P()
 
     def sharded_run(pr_blk, ref_blk, state_blk, max_rounds, tol):
-        dev = jax.lax.axis_index("agents")
-        offset = (dev * A).astype(jnp.int32)
-        qd_static = spmd_mod._build_qd_static(pr_blk, cfg)
-        cond, body = make_loop("agents", offset, pr_blk, ref_blk, qd_static)
-        state, metrics, rounds, *_ = jax.lax.while_loop(
-            cond, body, init_carry(state_blk, max_rounds, tol)
-        )
-        return state, metrics, rounds
+        return body_run(pr_blk, ref_blk, state_blk, max_rounds, tol,
+                        "agents")
 
     problem_specs = spmd_mod.SPMDProblem(
         num_agents=N, n_max=problem.n_max, d=problem.d, r=problem.r,
@@ -508,12 +843,12 @@ def make_delta_run_fn(problem: spmd_mod.SPMDProblem, cfg: spmd_mod.SPMDConfig,
     )
     ref_specs = DeltaRef(X_ref=blk, res_ref_priv=blk, res_ref_shared=blk,
                          M_ref=blk)
-    state_specs = DeltaState(D=blk, DY=blk, DV=blk, gamma=rep, it=rep,
-                             prev_cost=rep, do_restart=rep)
+    state_specs = DeltaState(D=blk, DY=blk, DV=blk, ACC=blk, gamma=rep,
+                             it=rep, prev_cost=rep, do_restart=rep)
     fn = jax.shard_map(
         sharded_run, mesh=mesh,
         in_specs=(problem_specs, ref_specs, state_specs, rep, rep),
-        out_specs=(state_specs,
+        out_specs=(state_specs, ref_specs,
                    spmd_mod.RoundMetrics(rep, rep, rep), rep),
         check_vma=False,
     )
@@ -610,38 +945,63 @@ def run_delta_certified(
     cfg: spmd_mod.SPMDConfig,
     tol: float,
     mesh: Optional[Mesh] = None,
-    chunk: int = 25,
+    chunk: int = 50,
     max_rounds: int = 2000,
     verbose: bool = False,
     crash_retries: int = 0,
+    reanchor_every: int = 25,
+    checkpoint_every: int = 3,
 ):
-    """Host driver: delta rounds in chunks with f64 re-anchoring between
-    chunks. Returns (X_final64, info) with the device-metric trace; callers
-    certify by evaluating the f64 global Riemannian gradient norm at the
-    assembled final iterate on the host (see scripts/scale_bench.py)."""
-    X_ref64 = np.array(X0_64, np.float64)  # (N, n_max, r, dh) stacked
-    run = make_delta_run_fn(problem, cfg, mesh)
-    ref = build_delta_ref(problem, X_ref64)
+    """Host driver for the delta engine: device-resident chunks (sized to
+    the tunnel watchdog's ~1 min execution cap) with ON-DEVICE anchor folds
+    every `reanchor_every` rounds — between successful calls NOTHING moves
+    host<->device (the per-chunk host re-anchor of the previous design cost
+    ~52 s/25 rounds in tunnel transfers vs 0.78 s/round of device compute).
+
+    Every `checkpoint_every` calls the small (ACC, D) pair is pulled to
+    build a crash checkpoint (the tunneled TPU worker can die under
+    sustained 100k-scale load); on a crash, the optimization resumes from
+    the checkpointed point via a FULL host f64 re-anchor + Nesterov restart
+    (restarting the acceleration at a crash is a valid schedule — restarts
+    are part of the algorithm).
+
+    Returns (X_final64, info). X_final64 = X_base + ACC + D, assembled in
+    f64 on the host; callers certify by evaluating the f64 global Riemannian
+    gradient norm there (host_certify)."""
+    X_base = np.array(X0_64, np.float64)  # (N, n_max, r, dh) stacked
+    run = make_delta_run_fn(problem, cfg, mesh, reanchor_every=reanchor_every)
+    ref = build_delta_ref(problem, X_base)
     state = initial_delta_state(ref)
     total = 0
     gn = float("inf")
     trace = []
     failures = 0
+    calls = 0
+    ck_point = None  # host f64 crash checkpoint (a concrete iterate)
+
+    def point_now(s):
+        return (X_base + np.asarray(s.ACC, np.float64)
+                + np.asarray(s.D, np.float64))
+
     while total < max_rounds and gn >= tol:
         try:
-            state, metrics, rounds = run(
+            state, ref, metrics, rounds = run(
                 ref, state, min(chunk, max_rounds - total), tol
             )
             total += int(rounds)
-        except Exception:  # tunnel TPU worker crash: recover and replay
+            calls += 1
+        except Exception:  # tunnel TPU worker crash: recover and resume
             failures += 1
             if failures > crash_retries:
                 raise
             import time as _time
 
             _time.sleep(75)
-            # state/ref are host-backed after every re-anchor — replay
-            state = jax.tree.map(jnp.asarray, jax.tree.map(np.asarray, state))
+            X_base = ck_point if ck_point is not None else np.array(
+                X0_64, np.float64
+            )
+            ref = build_delta_ref(problem, X_base)
+            state = initial_delta_state(ref)
             continue
         gn = float(metrics.gradnorm)
         trace.append({"rounds": total, "gradnorm": gn,
@@ -649,22 +1009,7 @@ def run_delta_certified(
         if verbose:
             print(f"  delta round {total}: gradnorm={gn:.6f} "
                   f"cost={float(metrics.cost):.2f}", flush=True)
-        # f64 re-anchor: fold the delta into the anchor, shift the Nesterov
-        # deltas exactly (V − X, Y − X are small differences)
-        D = np.asarray(state.D, np.float64)
-        DY = np.asarray(state.DY, np.float64) - D
-        DV = np.asarray(state.DV, np.float64) - D
-        X_ref64 = X_ref64 + D
-        ref = build_delta_ref(problem, X_ref64)
-        dt = state.D.dtype
-        state = DeltaState(
-            D=jnp.zeros_like(state.D),
-            DY=jnp.asarray(DY, dt),
-            DV=jnp.asarray(DV, dt),
-            gamma=state.gamma,
-            it=state.it,
-            prev_cost=state.prev_cost,
-            do_restart=state.do_restart,
-        )
+        if gn >= tol and crash_retries > 0 and calls % checkpoint_every == 0:
+            ck_point = point_now(state)
     info = {"rounds": total, "trace": trace, "device_gradnorm": gn}
-    return X_ref64, info
+    return point_now(state), info
