@@ -207,6 +207,7 @@ def main():
         # The tunnel's worker takes ~1 min to recover after a crash; retry
         # each config once after a cool-down.
         for name, fn in [("city10000-rbcd5", run_city10000),
+                         ("city10000-central", run_city10000_central),
                          ("intel-gnc", run_intel_gnc)]:
             for attempt in range(2):
                 try:
@@ -277,6 +278,66 @@ def run_city10000():
         "cost": round(float(metrics.cost), 3),
         "max_rel_change": round(float(metrics.max_rel_change), 6),
     }
+
+
+def run_city10000_central():
+    """Centralized city10000 solve (SE2, 10k poses / 20,687 edges) — the
+    CSR-kernel exercise config: ~10.7k of the edges are non-laneable (only
+    the odometry offset 1 forms a band on a city graph), so the gather-path
+    scatter-adds run through the Pallas CSR segment-sum kernel
+    (ops/pallas_segsum.py) on TPU. Reports the solve time with the kernel
+    attached and with plain XLA scatter, so the kernel's production delta is
+    measured in-bench rather than in a microbenchmark."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpgo_tpu import quadratic
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.measurements import EdgeArrays
+    from dpgo_tpu.ops import lifted
+    from dpgo_tpu.solvers import chordal as chordal_mod
+    from dpgo_tpu.solvers import rtr as rtr_mod
+
+    meas, n = read_g2o_file("/root/reference/data/city10000.g2o")
+    d, r = 2, 5
+    mixed = jax.devices()[0].platform != "cpu"
+    edges = EdgeArrays.from_measurements(meas)
+    problem = quadratic.from_private_measurements(edges, n=n, d=d)
+    Y_lift = jnp.asarray(lifted.fixed_stiefel_variable(d, r))
+    T = chordal_mod.chordal_initialization_arrays(
+        edges, n=n, cg_dtype=jnp.float32 if mixed else None,
+        tol=1e-6 if mixed else 1e-10, maxiter=1000,
+    )
+    X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
+
+    def solve(use_csr):
+        qd = quadratic.build_quadratic_data(
+            problem, jnp.zeros((1, r, d + 1)), r=r, precond="auto"
+        )
+        if use_csr:
+            qd = quadratic.attach_csr_plans(qd)
+        X, stats = rtr_mod.rtr_solve(
+            qd, X0, gradnorm_tol=0.1, initial_radius=100.0,
+            max_iterations=100, max_inner=200,
+            inner_dtype=jnp.float32 if mixed else None,
+        )
+        return X, stats, qd.csr is not None
+
+    out = {}
+    for use_csr in (True, False):
+        X, stats, attached = solve(use_csr)
+        np.asarray(X)  # warm-up/compile (materialize through the tunnel)
+        t0 = time.perf_counter()
+        X, stats, attached = solve(use_csr)
+        np.asarray(X)
+        key = "csr_kernel" if use_csr else "xla_scatter"
+        out[key + "_s"] = round(time.perf_counter() - t0, 3)
+        if use_csr:
+            out["csr_attached"] = attached
+            out["gradnorm"] = round(float(stats.gnorm_opt), 5)
+            out["cost"] = round(2 * float(stats.f_opt), 3)
+            out["iterations"] = int(stats.iterations)
+    return out
 
 
 def run_intel_gnc():

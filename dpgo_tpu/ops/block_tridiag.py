@@ -315,6 +315,102 @@ def solve_banded(bf: BandedFactor, V: jax.Array) -> jax.Array:
     return x[bf.invp]
 
 
+class StackedBandedPlan(NamedTuple):
+    """Per-agent banded plans with a COMMON superblock size (uniform shapes,
+    so the factor assembly and solve vmap over the agent axis). Array fields
+    carry a leading (A,) axis; the statics (s, nb, n, dh) are shared. Used by
+    the SPMD path to give every agent the exact banded preconditioner
+    (reference parity: each PGOAgent owns a full Cholmod LDL^T of ITS local
+    Q, PoseGraph.cpp:598-613)."""
+
+    s: int
+    nb: int
+    n: int
+    dh: int
+    pad_diag: np.ndarray  # (nb, s*dh) — identical for every agent (same n)
+    perm: np.ndarray  # (A, nb*s)
+    invp: np.ndarray  # (A, n)
+    diag_k: np.ndarray  # (A, n)
+    diag_r: np.ndarray  # (A, n)
+    ek_fwd: np.ndarray  # (A, m)
+    er_fwd: np.ndarray
+    ec_fwd: np.ndarray
+    em_fwd: np.ndarray
+    ek_cpl: np.ndarray
+    er_cpl: np.ndarray
+    ec_cpl: np.ndarray
+    et_cpl: np.ndarray
+    em_cpl: np.ndarray
+
+
+_STACKED_ARRAY_FIELDS = (
+    "perm", "invp", "diag_k", "diag_r", "ek_fwd", "er_fwd", "ec_fwd",
+    "em_fwd", "ek_cpl", "er_cpl", "ec_cpl", "et_cpl", "em_cpl",
+)
+
+
+def make_banded_plans_stacked(
+    i_stk, j_stk, n: int, dh: int, max_block: int = 1024
+) -> Optional[StackedBandedPlan]:
+    """Host-side: one banded plan per agent at a common superblock size
+    s = max over agents' RCM bandwidths (so no agent drops coupling entries
+    and all shapes are vmap-uniform). Returns None when the common s would
+    exceed max_block/dh — callers fall back to tridiag/jacobi. Padding edges
+    (i = j = 0, weight 0) only add a harmless self-loop to the RCM graph;
+    their E blocks are zero at build time, so they scatter nothing."""
+    i_stk = np.asarray(i_stk)
+    j_stk = np.asarray(j_stk)
+    A = i_stk.shape[0]
+    plans = []
+    s = 8
+    for a in range(A):
+        p = make_banded_plan(i_stk[a], j_stk[a], n, dh, max_block=max_block)
+        if p is None:
+            return None
+        s = max(s, p.s)
+        plans.append(p)
+    if s * dh > max_block:
+        return None
+    plans = [
+        p if p.s == s
+        else make_banded_plan(i_stk[a], j_stk[a], n, dh, s=s,
+                              max_block=max_block)
+        for a, p in enumerate(plans)
+    ]
+    if any(p is None or p.dropped for p in plans):  # cannot happen: s >= bw
+        return None
+    return StackedBandedPlan(
+        s=s, nb=plans[0].nb, n=n, dh=dh, pad_diag=plans[0].pad_diag,
+        **{f: np.stack([getattr(p, f) for p in plans])
+           for f in _STACKED_ARRAY_FIELDS},
+    )
+
+
+def build_banded_factor_stacked(
+    splan: StackedBandedPlan,
+    shifted_diag: jax.Array,  # (A, n, dh, dh)
+    E_edges: jax.Array,  # (A, m, dh, dh)
+) -> BandedFactor:
+    """vmapped build_banded_factor over the agent axis: returns a
+    BandedFactor whose array leaves carry a leading (A,) axis (slicing under
+    a per-agent vmap recovers each agent's factor). jit-able: the scatter
+    indices are static per agent, only block VALUES are runtime — GNC
+    reweights rebuild the factor without recompiling."""
+
+    def one(arrays, sd, E):
+        plan = BandedPlan(
+            s=splan.s, nb=splan.nb, n=splan.n, dh=splan.dh, bandwidth=0,
+            pad_diag=splan.pad_diag, dropped=0,
+            **dict(zip(_STACKED_ARRAY_FIELDS, arrays)),
+        )
+        return build_banded_factor(plan, sd, E)
+
+    arrays = tuple(
+        jnp.asarray(getattr(splan, f)) for f in _STACKED_ARRAY_FIELDS
+    )
+    return jax.vmap(one)(arrays, shifted_diag, E_edges)
+
+
 def solve(factor: CRFactor, b: jax.Array) -> jax.Array:
     """Solve M x = b given a CRFactor. b: (n, b, r) block right-hand sides."""
     # down-sweep: fold eliminated odd blocks into the kept even equations

@@ -218,10 +218,15 @@ class SPMDConfig:
     # f64-class gradient norms with zero f64 tensor kernels — the 100k-scale
     # path. Implies inner-control-matvec semantics for the cost decrease.
     rtr_residual_control: bool = False
-    # preconditioner for the local solves: 'auto' (tridiag when the odometry
-    # lane exists and the block is small enough that the cyclic-reduction
-    # solve pays off, else block-Jacobi — see quadratic.build_q_data),
-    # 'jacobi', or 'tridiag'
+    # preconditioner for the local solves: 'auto' (per-agent EXACT banded
+    # factor when the stacked RCM plan fits — reference parity: each agent
+    # owns a Cholmod LDL^T of its local Q, PoseGraph.cpp:598-613 — else
+    # tridiag when the odometry lane exists and the block is small enough
+    # that the cyclic-reduction solve pays off, else block-Jacobi),
+    # 'banded', 'jacobi', or 'tridiag'. The banded plan needs concrete edge
+    # indices, so make_run_fn/make_step_fn build it host-side at
+    # construction time; inside other jit contexts 'auto'/'banded' degrade
+    # as documented in quadratic.build_q_data.
     precond: str = "auto"
     # elastic membership: keep using the last known (frozen) pose of an
     # inactive neighbor instead of dropping its shared edges (reference:
@@ -508,6 +513,72 @@ def _build_qd_static(problem: SPMDProblem, cfg: SPMDConfig):
     return jax.vmap(one)(a_priv, a_shared)
 
 
+# factor-memory cap for the auto-selected stacked banded preconditioner:
+# ~5 * nb * (s*dh)^2 floats per agent across the cyclic-reduction levels
+_BANDED_AUTO_BYTES = 2 << 30
+
+
+def _plan_banded_static(problem: SPMDProblem, cfg: SPMDConfig):
+    """Host-side (construction-time): the stacked per-agent RCM banded plan,
+    or None when unavailable/not selected. Returns (splan, arrays) where
+    arrays is the flat tuple of per-agent plan index arrays that the jitted
+    driver threads through as runtime inputs (sharded along 'agents' on a
+    mesh)."""
+    if cfg.precond not in ("auto", "banded"):
+        return None, ()
+    import jax.core as _core
+
+    if isinstance(problem.priv_i, _core.Tracer):
+        return None, ()
+    from dpgo_tpu.ops import block_tridiag as _bt
+
+    splan = _bt.make_banded_plans_stacked(
+        np.asarray(problem.priv_i), np.asarray(problem.priv_j),
+        problem.n_max, problem.d + 1,
+    )
+    if splan is None:
+        return None, ()
+    sdh = splan.s * splan.dh
+    A = problem.priv_i.shape[0]
+    if cfg.precond == "auto" and \
+            A * 5 * splan.nb * sdh * sdh * 4 > _BANDED_AUTO_BYTES:
+        return None, ()
+    arrays = tuple(
+        jnp.asarray(getattr(splan, f)) for f in _bt._STACKED_ARRAY_FIELDS
+    )
+    return splan, arrays
+
+
+def _attach_banded_static(pr_blk, qd_static, splan, b_arrays):
+    """Inside jit: build the stacked per-agent exact banded factor from the
+    runtime weights (GNC reweights take effect without recompiling — the
+    scatter indices in b_arrays are static data) and attach it to the
+    per-agent QuadraticData (apply_precond dispatches on btf)."""
+    from dpgo_tpu.ops import block_tridiag as _bt
+
+    d = pr_blk.d
+    dh = d + 1
+
+    def one(arrays, kappa, tau, w, T, diag):
+        plan = _bt.BandedPlan(
+            s=splan.s, nb=splan.nb, n=splan.n, dh=splan.dh, bandwidth=0,
+            pad_diag=splan.pad_diag, dropped=0,
+            **dict(zip(_bt._STACKED_ARRAY_FIELDS, arrays)),
+        )
+        om = quadratic._omega(kappa, tau, w, d)
+        E = T * om[:, None, :]
+        shifted = diag + quadratic.PRECONDITIONER_SHIFT * jnp.eye(
+            dh, dtype=diag.dtype
+        )
+        return _bt.build_banded_factor(plan, shifted, E)
+
+    bf = jax.vmap(one)(
+        b_arrays, pr_blk.priv_kappa, pr_blk.priv_tau, pr_blk.priv_weight,
+        pr_blk.priv_T, qd_static.diag,
+    )
+    return dataclasses.replace(qd_static, btf=bf)
+
+
 def _agent_round(
     problem: SPMDProblem,
     cfg: SPMDConfig,
@@ -785,11 +856,22 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
     _validate_cfg(cfg)
     N = problem.num_agents
     key = jax.random.PRNGKey(cfg.seed)
+    splan, b_arrays = _plan_banded_static(problem, cfg)
+    cfg_build = (dataclasses.replace(cfg, precond="jacobi")
+                 if splan is not None else cfg)
+
+    def build_static(pr_blk, b_arr):
+        qd_static = _build_qd_static(pr_blk, cfg_build)
+        if splan is not None:
+            qd_static = _attach_banded_static(pr_blk, qd_static, splan, b_arr)
+        return qd_static
 
     if mesh is None:
         def step(state: SPMDState, sel: jax.Array):
+            qd_static = build_static(problem, b_arrays)
             new_state, metrics, gnorm_a = _round_body(
-                problem, cfg, None, jnp.asarray(0, jnp.int32), state, sel
+                problem, cfg, None, jnp.asarray(0, jnp.int32), state, sel,
+                qd_static,
             )
             nxt = _select_next(gnorm_a, cfg, state.it, key)
             return new_state, metrics, nxt
@@ -805,11 +887,12 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
     blk_spec = P("agents")
     rep = P()
 
-    def sharded_step(pr_blk: SPMDProblem, state_blk: SPMDState, sel):
+    def sharded_step(pr_blk: SPMDProblem, b_arr, state_blk: SPMDState, sel):
         dev = jax.lax.axis_index("agents")
         offset = (dev * A).astype(jnp.int32)
+        qd_static = build_static(pr_blk, b_arr)
         new_state, metrics, gnorm_a = _round_body(
-            pr_blk, cfg, "agents", offset, state_blk, sel
+            pr_blk, cfg, "agents", offset, state_blk, sel, qd_static
         )
         gnorm_all = jax.lax.all_gather(gnorm_a, "agents", axis=0, tiled=True)
         nxt = _select_next(gnorm_all, cfg, state_blk.it, key)
@@ -825,10 +908,11 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
         **{f: (rep if f in _REPLICATED_FIELDS else blk_spec)
            for f in _DATA_FIELDS},
     )
+    barr_specs = tuple(blk_spec for _ in b_arrays)
     fn = jax.shard_map(
         sharded_step,
         mesh=mesh,
-        in_specs=(problem_specs, state_specs, rep),
+        in_specs=(problem_specs, barr_specs, state_specs, rep),
         out_specs=(state_specs, RoundMetrics(rep, rep, rep), rep),
         check_vma=False,
     )
@@ -837,7 +921,7 @@ def make_step_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = N
 
     @jax.jit
     def step(state: SPMDState, sel: jax.Array):
-        return fn(problem_dev, state, sel)
+        return fn(problem_dev, b_arrays, state, sel)
 
     return step
 
@@ -983,6 +1067,18 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
     _validate_cfg(cfg)
     N = problem.num_agents
     key = jax.random.PRNGKey(cfg.seed)
+    # exact per-agent banded preconditioner (host-side plan, factor built
+    # inside the jit from runtime weights); when unavailable the build falls
+    # back to cfg.precond's in-jit resolution (tridiag/jacobi)
+    splan, b_arrays = _plan_banded_static(problem, cfg)
+    cfg_build = (dataclasses.replace(cfg, precond="jacobi")
+                 if splan is not None else cfg)
+
+    def build_static(pr_blk, b_arr):
+        qd_static = _build_qd_static(pr_blk, cfg_build)
+        if splan is not None:
+            qd_static = _attach_banded_static(pr_blk, qd_static, splan, b_arr)
+        return qd_static
 
     def make_loop(axis_name, agent_offset, pr_blk, qd_static):
         def cond(carry):
@@ -1021,8 +1117,8 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
 
     if mesh is None:
         @jax.jit
-        def _run(pr, state, max_rounds, tol, rel_tol):
-            qd_static = _build_qd_static(pr, cfg)
+        def _run(pr, b_arr, state, max_rounds, tol, rel_tol):
+            qd_static = build_static(pr, b_arr)
             cond, body = make_loop(None, jnp.asarray(0, jnp.int32), pr, qd_static)
             state, metrics, _sel, rounds, *_ = jax.lax.while_loop(
                 cond, body, init_carry(state, max_rounds, tol, rel_tol)
@@ -1030,7 +1126,7 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
             return state, metrics, rounds
 
         def run(state, max_rounds, tol, problem=problem, rel_tol=0.0):
-            return _run(problem, state, max_rounds, tol, rel_tol)
+            return _run(problem, b_arrays, state, max_rounds, tol, rel_tol)
 
         return run
 
@@ -1040,10 +1136,10 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
     blk_spec = P("agents")
     rep = P()
 
-    def sharded_run(pr_blk, state_blk, max_rounds, tol, rel_tol):
+    def sharded_run(pr_blk, b_arr, state_blk, max_rounds, tol, rel_tol):
         dev = jax.lax.axis_index("agents")
         offset = (dev * A).astype(jnp.int32)
-        qd_static = _build_qd_static(pr_blk, cfg)
+        qd_static = build_static(pr_blk, b_arr)
         cond, body = make_loop("agents", offset, pr_blk, qd_static)
         state, metrics, _sel, rounds, *_ = jax.lax.while_loop(
             cond, body, init_carry(state_blk, max_rounds, tol, rel_tol)
@@ -1058,20 +1154,21 @@ def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = No
         **{f: (rep if f in _REPLICATED_FIELDS else blk_spec)
            for f in _DATA_FIELDS},
     )
+    barr_specs = tuple(blk_spec for _ in b_arrays)
     fn = jax.shard_map(
         sharded_run,
         mesh=mesh,
-        in_specs=(problem_specs, state_specs, rep, rep, rep),
+        in_specs=(problem_specs, barr_specs, state_specs, rep, rep, rep),
         out_specs=(state_specs, RoundMetrics(rep, rep, rep), rep),
         check_vma=False,
     )
     @jax.jit
-    def _run(pr, state, max_rounds, tol, rel_tol):
-        return fn(pr, state, max_rounds, tol, rel_tol)
+    def _run(pr, b_arr, state, max_rounds, tol, rel_tol):
+        return fn(pr, b_arr, state, max_rounds, tol, rel_tol)
 
     def run(state, max_rounds, tol, problem=problem, rel_tol=0.0):
-        return _run(_device_put_problem(problem, mesh), state, max_rounds,
-                    tol, rel_tol)
+        return _run(_device_put_problem(problem, mesh), b_arrays, state,
+                    max_rounds, tol, rel_tol)
 
     return run
 

@@ -143,18 +143,25 @@ def main():
             rtr_inner_dtype=None,
             rtr_tcg_precision=None if tcg_prec == "none" else tcg_prec,
         )
-        run_cert = spmd.make_run_fn(problem, cfg, mesh=None)
         t0 = time.perf_counter()
-        # phase 1: bulk descent on the f32 engine to the coarse tolerance
-        # (with tunnel-crash replay from the last materialized state, as in
-        # the plain scale loop below)
+        # phase 1: bulk descent on the PLAIN f32 engine (`run`, the proven
+        # 100k configuration — the certified cfg's residual-control/'high'-
+        # precision kernels reproducibly fault the tunneled worker at 100k
+        # scale) to the coarse tolerance, with tunnel-crash replay from the
+        # last materialized state. The fused driver stops at `coarse` on
+        # device; a plateau guard hands off to the delta engine early when
+        # the f32 engine's quantization floor sits above `coarse`.
+        p1_chunk = int(os.environ.get("DPGO_SCALE_P1_CHUNK", str(4 * chunk)))
+        skip_p1 = os.environ.get("DPGO_SCALE_SKIP_P1") == "1"
         s1, total1 = state, 0
         m1 = None
         s1_host = None
         failures = 0
-        while total1 < rounds:
+        best_gn = float("inf")
+        flat_chunks = 0
+        while not skip_p1 and total1 < rounds:
             try:
-                nxt, m1, r1 = run_cert(s1, min(chunk, rounds - total1), coarse)
+                nxt, m1, r1 = run(s1, min(p1_chunk, rounds - total1), coarse)
                 s1_host = jax.tree.map(np.asarray, nxt)
                 s1 = nxt
                 total1 += int(r1)
@@ -168,11 +175,23 @@ def main():
                 s1 = (jax.tree.map(jnp.asarray, s1_host)
                       if s1_host is not None else state)
                 continue
-            if float(m1.gradnorm) < coarse:
+            gn1 = float(m1.gradnorm)
+            print(f"  phase1 round {total1}: device gradnorm={gn1:.4f}",
+                  file=sys.stderr, flush=True)
+            if gn1 < coarse:
+                break
+            flat_chunks = flat_chunks + 1 if gn1 > 0.99 * best_gn else 0
+            best_gn = min(best_gn, gn1)
+            if flat_chunks >= 2:
+                print("phase1 plateaued above the coarse tolerance "
+                      "(f32 floor); handing off to the delta engine",
+                      file=sys.stderr)
                 break
         t1 = time.perf_counter() - t0
         print(f"phase1 (f32 bulk): {total1} rounds, {t1:.1f}s, "
-              f"device gradnorm={float(m1.gradnorm):.4f}", file=sys.stderr)
+              f"device gradnorm="
+              f"{float(m1.gradnorm) if m1 is not None else float('inf'):.4f}",
+              file=sys.stderr)
         # phase 2: delta engine to the certified tolerance
         X64 = np.asarray(s1.X, np.float64)
         t0b = time.perf_counter()
