@@ -57,11 +57,18 @@ base = spmd.SPMDConfig(
 
 
 def timed(tag, fn, *args):
+    # materialize a scalar reduction to host: under the axon tunnel
+    # block_until_ready returns BEFORE execution completes (docs/PERF.md
+    # hazards) — timings that only block are underestimates, and pulling a
+    # full array would bill the tunnel's ~1 MB/s transfer to the kernel
+    def sync(o):
+        return float(jnp.sum(jax.tree.leaves(o)[0]))
+
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     print(f"{tag}: {dt*1000:.1f} ms", flush=True)
     return out
