@@ -142,6 +142,15 @@ def main():
             cfg, rtr_residual_control=True, rtr_inner_control_matvecs=False,
             rtr_inner_dtype=None,
             rtr_tcg_precision=None if tcg_prec == "none" else tcg_prec,
+            # tuning knobs (scripts/tune_delta.py / tune_schedule.py map the
+            # space; tcg=20 measured ~23% cheaper per round than 50 at 100k
+            # for near-identical per-round progress)
+            rtr_tcg_iterations=int(
+                os.environ.get("DPGO_SCALE_TCG_ITERS", "50")),
+            restart_interval=int(
+                os.environ.get("DPGO_SCALE_RESTART_INT", "30")),
+            nesterov_n=(lambda v: None if v == "" else int(v))(
+                os.environ.get("DPGO_SCALE_NESTEROV_N", "")),
         )
         t0 = time.perf_counter()
         # phase 1: bulk descent on the PLAIN f32 engine (`run`, the proven
