@@ -623,6 +623,35 @@ def _agent_round(
     return X_new, stats.gnorm_init, cost
 
 
+def _agent_eval(
+    problem: SPMDProblem,
+    cfg: SPMDConfig,
+    qd_static,
+    X0: jax.Array,
+    a_priv, a_shared,
+    nbr_poses: jax.Array,
+):
+    """Selection/termination metrics at X0 only — no local solve. Matches
+    _agent_round's gradnorm convention exactly (same control-path flags), so
+    greedy selection and team termination behave identically whether an
+    agent's metrics come from its solver or from this cheap pass."""
+    lp = _agent_local_problem(problem, a_priv, a_shared)
+    G = quadratic.build_linear_term(lp, nbr_poses, r=problem.r)
+    res = (
+        quadratic.build_residual_data(lp, nbr_poses)
+        if cfg.rtr_residual_control else None
+    )
+    qd = dataclasses.replace(qd_static, G=G, res=res)
+    _, gnorm = rtr_mod.initial_cost_gradnorm(
+        qd, X0,
+        inner_dtype=jnp.dtype(cfg.rtr_inner_dtype) if cfg.rtr_inner_dtype else None,
+        inner_control_matvecs=cfg.rtr_inner_control_matvecs,
+        residual_control=cfg.rtr_residual_control,
+    )
+    cost = _edge_cost_terms(X0, nbr_poses, lp, a_shared[5].astype(X0.dtype))
+    return gnorm, cost
+
+
 # ---------------------------------------------------------------------------
 # The SPMD round (runs under shard_map; axis_name=None for single-program)
 # ---------------------------------------------------------------------------
@@ -735,6 +764,37 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
         )(X_blk, a_priv, a_shared, nbr_blk)
         return _psum(jnp.sum(lp_cost), axis_name)
 
+    def solve_team(X_from, nbr_from):
+        """This round's local solves: (X_upd, gnorm_a, cost_a).
+
+        Single-selection modes on a single device run the expensive RTR
+        solve ONLY on the selected agent's block (dynamic slice + scatter);
+        every other agent pays one cheap metric pass (_agent_eval). This is
+        the reference's work profile — non-selected robots do no local
+        optimization (MultiRobotExample.cpp:170-207) — where the vmapped
+        path would solve all A blocks and discard A-1 of them. On a mesh
+        the vmapped path stays: blocks solve on separate devices in
+        parallel, so there is no wall-clock waste to remove.
+        """
+        if cfg.mode in ("greedy", "uniform") and axis_name is None:
+            gnorm_a, cost_a = jax.vmap(
+                partial(_agent_eval, pr, cfg)
+            )(qd_static, X_from, a_priv, a_shared, nbr_from)
+            sel_c = jnp.clip(sel, 0, A - 1)
+            take = lambda t: jax.tree.map(lambda x: x[sel_c], t)
+            do_sel = jnp.logical_and(sel >= 0, active_blk[sel_c])
+            X_sel, _, _ = _agent_round(
+                pr, cfg, take(qd_static), X_from[sel_c],
+                take(a_priv), take(a_shared), nbr_from[sel_c], do_sel,
+            )
+            X_upd = X_from.at[sel_c].set(
+                jnp.where(do_sel, X_sel, X_from[sel_c])
+            )
+            return X_upd, gnorm_a, cost_a
+        return jax.vmap(partial(_agent_round, pr, cfg))(
+            qd_static, X_from, a_priv, a_shared, nbr_from, do_opt
+        )
+
     if cfg.acceleration:
         # Restart = the reference's restartNesterovAcceleration
         # (PGOAgent.cpp:887-897): revert to the round-start X, re-solve
@@ -760,9 +820,7 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
         # rounds Y == X, so the gather delivers the plain neighbor poses.
         all_pub_aux = _gather_pub(Y, pr.pub_idx, axis_name)
         nbr_aux = resolve_nbr(all_pub_aux)
-        X_upd, gnorm_a, cost_a = jax.vmap(
-            partial(_agent_round, problem_blk, cfg)
-        )(qd_static, Y, a_priv, a_shared, nbr_aux, do_opt)
+        X_upd, gnorm_a, cost_a = solve_team(Y, nbr_aux)
         # non-optimizing agents take X <- Y (PGOAgent.cpp:943-947);
         # INACTIVE agents stay exactly frozen
         act = active_blk[:, None, None, None]
@@ -793,9 +851,7 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
     else:
         all_pub = _gather_pub(state_blk.X, pr.pub_idx, axis_name)
         nbr = resolve_nbr(all_pub)
-        X_upd, gnorm_a, cost_a = jax.vmap(
-            partial(_agent_round, problem_blk, cfg)
-        )(qd_static, state_blk.X, a_priv, a_shared, nbr, do_opt)
+        X_upd, gnorm_a, cost_a = solve_team(state_blk.X, nbr)
         X_upd = jnp.where(active_blk[:, None, None, None], X_upd, state_blk.X)
         new_state = SPMDState(
             X=X_upd, Y=X_upd, V=X_upd,

@@ -459,6 +459,31 @@ def rtr_solve(
     return X_out, stats
 
 
+def initial_cost_gradnorm(
+    qd: QuadraticData,
+    Y0: jax.Array,
+    inner_dtype=None,
+    inner_control_matvecs: bool = False,
+    residual_control: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cost and Riemannian gradient norm at Y0, computed exactly as
+    rtr_solve's gnorm_init/f_init under the same control-path flags (one
+    matvec / one residual pass — no solve). Lets callers evaluate selection
+    and termination metrics for agents that do NOT optimize this round
+    without paying for a discarded trust-region solve (the reference's
+    central evaluation, MultiRobotExample.cpp:233-247)."""
+    qd_inner = None
+    if inner_dtype is not None and inner_dtype != Y0.dtype:
+        cast = lambda x: (
+            x.astype(inner_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x
+        )
+        qd_inner = jax.tree.map(cast, qd)
+    st = _initial_state(qd, Y0, 0.0, qd_inner, inner_control_matvecs,
+                        residual_control)
+    return st.fx, st.gnorm
+
+
 @jax.jit
 def rgd_step(
     qd: QuadraticData,

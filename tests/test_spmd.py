@@ -128,6 +128,33 @@ def test_sharded_matches_single_device(small_setup):
     )
 
 
+def test_greedy_sharded_matches_single_device(small_setup):
+    """Greedy mode: the single-device path solves ONLY the selected agent's
+    block (dynamic slice + scatter, see spmd._round_body solve_team) while
+    the mesh path solves all blocks vmapped and masks — both must produce
+    identical iterates, metrics, and selection sequences."""
+    meas, n, problem, ranges, state, qd_central = small_setup
+    cfg = spmd.SPMDConfig(mode="greedy", acceleration=False, rtr_iterations=1)
+
+    step_local = spmd.make_step_fn(problem, cfg, mesh=None)
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("agents",))
+    step_sharded = spmd.make_step_fn(problem, cfg, mesh=mesh)
+
+    sel_l = sel_s = jnp.asarray(0, jnp.int32)
+    s_local, s_shard = state, state
+    for _ in range(6):
+        s_local, m_local, sel_l = step_local(s_local, sel_l)
+        s_shard, m_shard, sel_s = step_sharded(s_shard, sel_s)
+        assert int(sel_l) == int(sel_s)
+    np.testing.assert_allclose(
+        np.asarray(s_local.X), np.asarray(s_shard.X), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(m_local.gradnorm), float(m_shard.gradnorm), rtol=1e-8
+    )
+
+
 def test_sharded_8_devices_smallgrid():
     """8 agents over the full 8-device mesh on smallGrid3D."""
     meas, n = read_g2o_file("/root/reference/data/smallGrid3D.g2o")
