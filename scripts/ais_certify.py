@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Offline absolute-gradnorm certification for ais2klinik (CPU f64).
+
+ais2klinik is the bundled suite's conditioning stress case: a 15,115-pose
+2D corridor graph whose connection Laplacian has many near-zero eigenvalues.
+The reference's preconditioner is an exact LDL^T of (Q + 0.1*I)
+(PoseGraph.cpp:598-613); with THIS spectrum the fixed 0.1 shift crushes
+every mode with lambda < 0.1 and preconditioned tCG crawls — measured here:
+12,000 s of RTR stalls at gradnorm ~0.34 (docs/PERF.md). Because our
+banded factor (RCM + superblock cyclic reduction, ops/block_tridiag.py) is
+exact for ANY SPD shift, it admits a much smaller shift: with 1e-3 the same
+budget reaches a lower cost ~8x sooner. This script runs the certification:
+chordal init -> blocks of exact-banded-preconditioned RTR, crash-safe
+(saves the iterate each block, resumes from the save), until the global
+Riemannian gradient norm is below the absolute tolerance.
+
+Usage: python scripts/ais_certify.py [shift] [max_inner] [tol]
+State: /tmp/ais_certify_state.npz (delete to restart from chordal init).
+"""
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import numpy as np
+
+
+def main():
+    shift = float(sys.argv[1]) if len(sys.argv) > 1 else 1e-3
+    max_inner = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-2
+
+    import jax.numpy as jnp
+
+    from dpgo_tpu import quadratic
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.measurements import EdgeArrays
+    from dpgo_tpu.ops import lifted
+    from dpgo_tpu.solvers import chordal as chordal_mod
+    from dpgo_tpu.solvers import rtr as rtr_mod
+
+    meas, n = read_g2o_file("/root/reference/data/ais2klinik.g2o")
+    d, r = meas[0].d, 5
+    edges = EdgeArrays.from_measurements(meas)
+    problem = quadratic.from_private_measurements(edges, n=n, d=d)
+
+    state_path = "/tmp/ais_certify_state.npz"
+    if os.path.exists(state_path):
+        X = jnp.asarray(np.load(state_path)["X"])
+        print(f"resuming from {state_path}", flush=True)
+    else:
+        T = chordal_mod.chordal_initialization_arrays(edges, n=n)
+        Y_lift = jnp.asarray(lifted.fixed_stiefel_variable(d, r))
+        X = jnp.einsum("rd,nde->nre", Y_lift, T)
+
+    qd = quadratic.build_quadratic_data(
+        problem, jnp.zeros((1, r, d + 1)), r=r, precond="auto",
+        precond_shift=shift,
+    )
+    print(f"shift={shift} max_inner={max_inner} tol={tol} "
+          f"banded={qd.btf is not None}", flush=True)
+    t0 = time.time()
+    for blk in range(400):
+        X, stats = rtr_mod.rtr_solve(
+            qd, X, gradnorm_tol=tol, initial_radius=100.0,
+            max_iterations=25, max_inner=max_inner,
+        )
+        gn = float(stats.gnorm_opt)
+        np.savez(state_path, X=np.asarray(X))
+        print(f"blk {blk:3d} tcg={int(stats.tcg_iters):5d} gn={gn:.4f} "
+              f"cost={2 * float(stats.f_opt):.4f} ({time.time() - t0:.0f}s)",
+              flush=True)
+        if gn < tol:
+            print(f"CERTIFIED ais2klinik gradnorm={gn:.6f} "
+                  f"cost={2 * float(stats.f_opt):.6f} "
+                  f"wall={time.time() - t0:.0f}s shift={shift}", flush=True)
+            break
+
+
+if __name__ == "__main__":
+    main()
