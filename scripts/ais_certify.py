@@ -24,7 +24,9 @@ import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the driver shell exports JAX_PLATFORMS=axon, so setdefault
+# would silently leave this process attached to the (single-user) TPU tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import numpy as np
