@@ -24,10 +24,21 @@ import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
-# force CPU: the driver shell exports JAX_PLATFORMS=axon, so setdefault
-# would silently leave this process attached to the (single-user) TPU tunnel
+# CPU-only: under the axon tunnel, sitecustomize registers the TPU plugin at
+# interpreter BOOT whenever PALLAS_AXON_POOL_IPS is set — in-process env edits
+# are too late (jax then dials the single-user tunnel worker even for "cpu"
+# runs, and hangs if the worker is down). Re-exec once with the tunnel
+# variables stripped, exactly like tests/conftest.py.
+if (
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get("_DPGO_AIS_REEXEC") != "1"
+):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_DPGO_AIS_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable, *sys.argv], env)
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import numpy as np
 
