@@ -186,3 +186,61 @@ def test_host_certify_matches_central_evaluation():
     gnorm_c = float(quadratic.rie_grad_norm(qd_central, jnp.asarray(X0)))
     np.testing.assert_allclose(cost, 2 * cost_c, rtol=1e-10)
     np.testing.assert_allclose(gnorm, gnorm_c, rtol=1e-9)
+
+
+def test_delta_sharded_matches_single_device():
+    """The fused delta driver on a 4-device mesh (shard_map + all_gather of
+    public deltas, psum'd metrics) matches the single-device batched path —
+    the mesh analog of test_spmd.py::test_sharded_matches_single_device for
+    the certification engine (the 100k flagship path)."""
+    from jax.sharding import Mesh
+
+    meas, n = read_g2o_file("/root/reference/data/tinyGrid3D.g2o")
+    r, N = 5, 4
+    problem, ranges = spmd.build_spmd_problem(
+        meas, n, num_agents=N, r=r, dtype=jnp.float32
+    )
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    X0_stack = np.zeros((N, problem.n_max, r, 4))
+    for a, (s, e) in enumerate(ranges):
+        X0_stack[a, : e - s] = X0[s:e]
+        X0_stack[a, e - s:] = np.asarray(
+            lifted.identity_lifted(problem.n_max - (e - s), r, 3)
+        )
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1,
+                          rtr_gradnorm_tol=1e-3 / (2 * np.sqrt(N)),
+                          rtr_residual_control=True)
+
+    run_local = delta_mod.make_delta_run_fn(problem, cfg, mesh=None,
+                                            reanchor_every=5)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("agents",))
+    run_shard = delta_mod.make_delta_run_fn(problem, cfg, mesh=mesh,
+                                            reanchor_every=5)
+
+    ref_l = delta_mod.build_delta_ref(problem, X0_stack)
+    st_l = delta_mod.initial_delta_state(ref_l)
+    ref_s = delta_mod.build_delta_ref(problem, X0_stack)
+    st_s = delta_mod.initial_delta_state(ref_s)
+
+    for _ in range(2):  # two chunks: exercises the carry-ref round trip
+        st_l, ref_l, m_l, r_l = run_local(ref_l, st_l, 12, 1e-12)
+        st_s, ref_s, m_s, r_s = run_shard(ref_s, st_s, 12, 1e-12)
+        assert int(r_l) == int(r_s)
+
+    # same iterate to f32 roundoff of the SMALL delta quantities
+    pt_l = np.asarray(st_l.ACC, np.float64) + np.asarray(st_l.D, np.float64)
+    pt_s = np.asarray(st_s.ACC, np.float64) + np.asarray(st_s.D, np.float64)
+    np.testing.assert_allclose(pt_l, pt_s, atol=5e-6)
+    np.testing.assert_allclose(float(m_l.cost), float(m_s.cost), rtol=2e-5)
+    np.testing.assert_allclose(
+        float(m_l.gradnorm), float(m_s.gradnorm), rtol=2e-4
+    )
+
+    # and the certified host driver runs end-to-end on the mesh
+    X_final, info = delta_mod.run_delta_certified(
+        problem, X0_stack, cfg, tol=1e-3, mesh=mesh, chunk=20, max_rounds=400,
+    )
+    cost_h, gnorm_h = delta_mod.host_certify(problem, X_final)
+    assert gnorm_h < 2e-3
