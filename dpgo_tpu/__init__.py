@@ -59,6 +59,10 @@ from dpgo_tpu.solvers.pgo import (  # noqa: E402
     SolveRobustPGOParams,
 )
 from dpgo_tpu.ops import lifted  # noqa: E402
+from dpgo_tpu.solvers.certify import (  # noqa: E402
+    min_eig_certificate,
+    solve_pgo_staircase,
+)
 
 __all__ = [
     "InitializationMethod",
@@ -79,7 +83,9 @@ __all__ = [
     "SolveRobustPGOParams",
     "chordal_initialization",
     "lifted",
+    "min_eig_certificate",
     "odometry_initialization",
+    "solve_pgo_staircase",
     "read_g2o_file",
     "solve_pgo",
     "solve_robust_pgo",
