@@ -693,26 +693,32 @@ def hess_correction(X: jax.Array, eg: jax.Array) -> jax.Array:
     return 0.5 * (YtG + jnp.swapaxes(YtG, -1, -2))
 
 
-def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array,
+def precond_solve(qd: QuadraticData, V: jax.Array,
                   precision=None) -> jax.Array:
-    """Preconditioner solve + tangent projection at X (reference:
-    QuadraticProblem.cpp:56-69). With a block-tridiagonal factorization
-    attached, the row-vector system out P = V becomes P out^T = V^T per pose
-    block (P symmetric); otherwise block-Jacobi: one batched matmul against
-    the materialized symmetric inverse."""
+    """Raw preconditioner solve (no tangent projection): out with
+    out P = V for the SPD preconditioner P ~ Q + shift*I. With a
+    block-tridiagonal factorization attached, the row-vector system becomes
+    P out^T = V^T per pose block (P symmetric); otherwise block-Jacobi: one
+    batched matmul against the materialized symmetric inverse. Also used as
+    the eigen-preconditioner of the optimality certificate
+    (solvers/certify.py)."""
     if qd.btf is not None:
         from dpgo_tpu.ops import block_tridiag as _bt
 
         if isinstance(qd.btf, _bt.BandedFactor):
-            out = _bt.solve_banded(qd.btf, V)
-        else:
-            out = jnp.swapaxes(
-                _bt.solve(qd.btf, jnp.swapaxes(V, -1, -2)), -1, -2
-            )
-    else:
-        out = jnp.einsum("nrb,nbc->nrc", V, qd.precond_inv,
-                         precision=precision)
-    return lifted.proj_tangent(X, out)
+            return _bt.solve_banded(qd.btf, V)
+        return jnp.swapaxes(
+            _bt.solve(qd.btf, jnp.swapaxes(V, -1, -2)), -1, -2
+        )
+    return jnp.einsum("nrb,nbc->nrc", V, qd.precond_inv,
+                      precision=precision)
+
+
+def apply_precond(qd: QuadraticData, X: jax.Array, V: jax.Array,
+                  precision=None) -> jax.Array:
+    """Preconditioner solve + tangent projection at X (reference:
+    QuadraticProblem.cpp:56-69)."""
+    return lifted.proj_tangent(X, precond_solve(qd, V, precision=precision))
 
 
 # ---------------------------------------------------------------------------

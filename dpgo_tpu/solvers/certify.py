@@ -142,6 +142,54 @@ def _lanczos(matvec, v0: jax.Array, k: int):
     return alpha, beta, V
 
 
+def _pcg_refine_min(mv, prec, defl, x0, iters: int, tol: float):
+    """Preconditioned Rayleigh-quotient minimization (LOBPCG, block 1) for
+    the smallest eigenpair of the deflated certificate operator.
+
+    Plain Lanczos stalls on large graphs: the bottom of the deflated
+    spectrum sits under a tiny relative gap (~5e-3 / 1.2e3 on sphere2500) and
+    the Ritz residual decays only ~2x per doubled k. The SPD preconditioner
+    the tCG already owns — (Q + shift I)^{-1}, exact banded or block-Jacobi —
+    is a near-inverse of S = Q - LambdaHat, so the preconditioned iteration
+    converges in tens of matvecs. Host-driven loop; mv/prec are jitted
+    device calls.
+
+    Returns (theta, x, residual_norm): the RAYLEIGH QUOTIENT and exact
+    residual of the returned vector — the rigorous ingredients of the bound
+    lambda_min >= theta - ||r||."""
+    x = np.array(defl(x0), np.float64)
+    x /= np.linalg.norm(x)
+    p = None
+    for _ in range(iters):
+        Sx = np.asarray(mv(x), np.float64)
+        theta = float(x @ Sx)
+        r = Sx - theta * x
+        rn = float(np.linalg.norm(r))
+        if rn < tol:
+            return theta, x, rn
+        w = np.asarray(defl(prec(r)), np.float64)
+        cols = [x, w] if p is None else [x, w, p]
+        Bq, _ = np.linalg.qr(np.stack(cols, axis=1))
+        SB = np.stack(
+            [np.asarray(mv(Bq[:, i]), np.float64)
+             for i in range(Bq.shape[1])], axis=1,
+        )
+        T = Bq.T @ SB
+        T = 0.5 * (T + T.T)
+        _evals, evecs = np.linalg.eigh(T)
+        y = evecs[:, 0]
+        x_new = Bq @ y
+        # LOBPCG history direction: the part of the step orthogonal to x
+        p = x_new - x * float(x @ x_new)
+        pn = np.linalg.norm(p)
+        p = p / pn if pn > 1e-12 else None
+        x = x_new / np.linalg.norm(x_new)
+    Sx = np.asarray(mv(x), np.float64)
+    theta = float(x @ Sx)
+    rn = float(np.linalg.norm(Sx - theta * x))
+    return theta, x, rn
+
+
 class CertificateResult(NamedTuple):
     certified: bool
     lambda_min: float  # point estimate: min over both subspaces
@@ -157,6 +205,7 @@ def min_eig_certificate(
     k: int = 64,
     eta: float = 1e-6,
     seed: int = 0,
+    refine_iters: int = 400,
 ) -> CertificateResult:
     """lambda_min(S) via DEFLATED matrix-free Lanczos.
 
@@ -230,6 +279,30 @@ def min_eig_certificate(
     v /= np.linalg.norm(v)
     v_dev = jnp.asarray(v, X.dtype)
     res = float(jnp.linalg.norm(mv_defl(v_dev) - lam_defl * v_dev))
+
+    # Refine with the preconditioned Rayleigh-quotient iteration when the
+    # Lanczos residual is too large for the rigorous bound (large graphs:
+    # tiny relative spectral gap). Uses the quadratic data's own SPD
+    # preconditioner (Q + shift I)^{-1}.
+    res_target = max(0.1 * eta, 1e-10)
+    if res > res_target and refine_iters > 0:
+        mv_j = jax.jit(mv_defl)
+
+        def prec(w):
+            return quadratic.precond_solve(
+                qd, jnp.asarray(w, X.dtype).reshape(n, 1, dh)
+            ).reshape(m)
+
+        def defl(w):
+            w = jnp.asarray(w, X.dtype)
+            return w - B.T @ (B @ w)
+
+        lam_r, v_r, res_r = _pcg_refine_min(
+            mv_j, jax.jit(prec), jax.jit(defl), v,
+            iters=refine_iters, tol=res_target,
+        )
+        if lam_r - res_r > lam_defl - res:  # keep the better bound
+            lam_defl, v, res = lam_r, v_r, res_r
 
     # the q x q restriction and the coupling block
     SBt = jax.vmap(mv)(B)  # (q, m) rows = S b_i
