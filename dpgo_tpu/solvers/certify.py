@@ -350,6 +350,36 @@ def lift_and_escape(
     return Xp  # last (smallest-step) attempt
 
 
+def certify_solution(
+    measurements: Sequence,
+    X: jax.Array,
+    k: int = 64,
+    eta: float = 1e-6,
+    precond: str = "auto",
+    refine_iters: int = 400,
+) -> CertificateResult:
+    """Certify a GLOBAL iterate (n, r, dh) against the full measurement set —
+    the entry point for distributed solutions: assemble the team's global
+    trajectory (spmd.assemble_global / PGOAgent outputs lifted) and test the
+    centralized certificate on it. The distributed protocol never needs the
+    global problem; this is an offline verification step, exactly the role
+    the certificate plays in SE-Sync."""
+    from dpgo_tpu.measurements import EdgeArrays
+    from dpgo_tpu.solvers.pgo import num_poses_and_dim
+
+    d, n = num_poses_and_dim(measurements)
+    r = X.shape[-2]
+    assert X.shape == (n, r, d + 1), (X.shape, (n, r, d + 1))
+    edges = EdgeArrays.from_measurements(measurements)
+    problem = quadratic.from_private_measurements(edges, n=n, d=d)
+    qd = quadratic.build_quadratic_data(
+        problem, jnp.zeros((1, r, d + 1)), r=r, precond=precond
+    )
+    return min_eig_certificate(
+        qd, jnp.asarray(X), k=k, eta=eta, refine_iters=refine_iters
+    )
+
+
 class StaircaseResult(NamedTuple):
     X: np.ndarray  # (n, r_final, d+1) certified (or last) iterate
     r: int

@@ -194,3 +194,47 @@ def test_certify_sphere2500_global_optimum():
     res = certify.min_eig_certificate(qd, X, k=64, eta=1e-5)
     assert res.stationarity < 1e-4
     assert res.certified, res
+
+
+def test_certify_distributed_solution():
+    """The realistic end-to-end pipeline: distributed SPMD RBCD to its
+    tolerance, assemble the global trajectory, (cheap) centralized polish to
+    a critical point, certify global optimality — the offline verification
+    role the certificate plays in SE-Sync, applied to the distributed
+    solver's output."""
+    from dpgo_tpu.parallel import spmd
+
+    meas, n = read_g2o_file("/root/reference/data/smallGrid3D.g2o")
+    r, N = 5, 4
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=N, r=r)
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=True, rtr_iterations=1,
+                          rtr_gradnorm_tol=1e-2 / (2 * np.sqrt(N)))
+    run = spmd.make_run_fn(problem, cfg, mesh=None)
+    state, metrics, rounds = run(state, 400, 5e-2)
+    assert float(metrics.gradnorm) < 0.1
+    Xg = spmd.assemble_global(state, ranges, n)
+
+    # distributed iterate is eta-far from critical: the certificate bound
+    # honestly reflects that through the coupling term
+    loose = certify.certify_solution(meas, Xg, eta=1e-6, refine_iters=0)
+    assert not loose.certified
+    assert loose.stationarity < 0.1
+
+    # cheap centralized polish to a critical point, then certify
+    _m, _n, d, qd, _X0 = _setup("/root/reference/data/smallGrid3D.g2o", r)
+    Xp, stats = rtr_mod.rtr_solve(
+        qd, jnp.asarray(Xg), gradnorm_tol=1e-9, initial_radius=1.0,
+        max_iterations=50, max_inner=200,
+    )
+    assert float(stats.gnorm_opt) < 1e-9
+    res = certify.certify_solution(meas, np.asarray(Xp), eta=1e-6)
+    assert res.certified, res
+    # and the polished cost matches the distributed one to its tolerance
+    c_dist = float(quadratic.cost(qd, jnp.asarray(Xg)))
+    c_pol = float(quadratic.cost(qd, Xp))
+    assert c_pol <= c_dist + 1e-12
+    np.testing.assert_allclose(c_dist, c_pol, rtol=1e-3)
