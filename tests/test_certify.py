@@ -238,3 +238,20 @@ def test_certify_distributed_solution():
     c_pol = float(quadratic.cost(qd, Xp))
     assert c_pol <= c_dist + 1e-12
     np.testing.assert_allclose(c_dist, c_pol, rtol=1e-3)
+
+
+def test_certify_city10000_global_optimum():
+    """city10000 (SE(2), 10,000 poses): the centralized solve is certified
+    globally optimal — the optimum (638.6246) that the distributed bench's
+    'within 0.6%' claim is measured against is now a proven global optimum,
+    not just a converged value."""
+    _meas, n, d, qd, X0 = _setup("/root/reference/data/city10000.g2o", 3)
+    X, stats = rtr_mod.rtr_solve(
+        qd, X0, gradnorm_tol=1e-6, initial_radius=100.0,
+        max_iterations=300, max_inner=500,
+    )
+    assert float(stats.gnorm_opt) < 1e-6, float(stats.gnorm_opt)
+    np.testing.assert_allclose(2 * float(stats.f_opt), 638.6246, rtol=1e-5)
+    res = certify.min_eig_certificate(qd, X, k=64, eta=1e-5)
+    assert res.certified, res
+    assert res.lambda_min_lower > -1e-8
