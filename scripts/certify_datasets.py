@@ -31,16 +31,20 @@ DATASETS = [
     ("sphere2500.g2o", 5),
     ("torus3D.g2o", 5),
     ("cubicle.g2o", 5),
-    ("INTEL.g2o", 3),
     ("input_INTEL_g2o.g2o", 3),
     ("CSAIL.g2o", 3),
-    ("M3500.g2o", 3),
-    ("MITb.g2o", 3),
+    ("input_M3500_g2o.g2o", 3),
+    ("input_MITb_g2o.g2o", 3),
     ("city10000.g2o", 3),
     ("kitti_00.g2o", 3),
     ("kitti_02.g2o", 3),
     ("kitti_05.g2o", 3),
+    ("kitti_06.g2o", 3),
+    ("kitti_07.g2o", 3),
+    ("kitti_08.g2o", 3),
     ("kitti_09.g2o", 3),
+    ("sphere_bignoise_vertex3.g2o", 5),
+    ("ais2klinik.g2o", 3),
 ]
 
 
