@@ -79,8 +79,12 @@ def main():
           f"banded={qd.btf is not None}", flush=True)
     t0 = time.time()
     for blk in range(400):
+        # restart blocks with a moderate radius: re-entering at 100 makes
+        # RTR spend the first iterations of every block re-shrinking (the
+        # gn spikes between blocks in the logs)
         X, stats = rtr_mod.rtr_solve(
-            qd, X, gradnorm_tol=tol, initial_radius=100.0,
+            qd, X, gradnorm_tol=tol,
+            initial_radius=100.0 if blk == 0 else 1.0,
             max_iterations=25, max_inner=max_inner,
         )
         gn = float(stats.gnorm_opt)
