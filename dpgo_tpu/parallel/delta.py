@@ -1006,8 +1006,18 @@ def run_delta_certified(
             state, ref, metrics, rounds = run(
                 ref, state, min(chunk, max_rounds - total), tol
             )
-            total += int(rounds)
-            calls += 1
+            # the host fetches below are device->host transfers through the
+            # tunnel — the longest-exposure operations in the loop — so they
+            # must sit INSIDE the crash-retry envelope too
+            rounds_i = int(rounds)
+            gn = float(metrics.gradnorm)
+            cost = float(metrics.cost)
+            ck_next = (
+                point_now(state)
+                if gn >= tol and crash_retries > 0
+                and (calls + 1) % checkpoint_every == 0
+                else None
+            )
         except Exception:  # tunnel TPU worker crash: recover and resume
             failures += 1
             if failures > crash_retries:
@@ -1021,13 +1031,13 @@ def run_delta_certified(
             ref = build_delta_ref(problem, X_base)
             state = initial_delta_state(ref)
             continue
-        gn = float(metrics.gradnorm)
-        trace.append({"rounds": total, "gradnorm": gn,
-                      "cost": float(metrics.cost)})
+        total += rounds_i
+        calls += 1
+        if ck_next is not None:
+            ck_point = ck_next
+        trace.append({"rounds": total, "gradnorm": gn, "cost": cost})
         if verbose:
             print(f"  delta round {total}: gradnorm={gn:.6f} "
-                  f"cost={float(metrics.cost):.2f}", flush=True)
-        if gn >= tol and crash_retries > 0 and calls % checkpoint_every == 0:
-            ck_point = point_now(state)
+                  f"cost={cost:.2f}", flush=True)
     info = {"rounds": total, "trace": trace, "device_gradnorm": gn}
     return point_now(state), info

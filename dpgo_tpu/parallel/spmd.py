@@ -777,20 +777,36 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
         parallel, so there is no wall-clock waste to remove.
         """
         if cfg.mode in ("greedy", "uniform") and axis_name is None:
-            gnorm_a, cost_a = jax.vmap(
-                partial(_agent_eval, pr, cfg)
-            )(qd_static, X_from, a_priv, a_shared, nbr_from)
-            sel_c = jnp.clip(sel, 0, A - 1)
-            take = lambda t: jax.tree.map(lambda x: x[sel_c], t)
-            do_sel = jnp.logical_and(sel >= 0, active_blk[sel_c])
-            X_sel, _, _ = _agent_round(
-                pr, cfg, take(qd_static), X_from[sel_c],
-                take(a_priv), take(a_shared), nbr_from[sel_c], do_sel,
+
+            def _one_selected(ops):
+                X_f, nbr_f = ops
+                gnorm_a, cost_a = jax.vmap(
+                    partial(_agent_eval, pr, cfg)
+                )(qd_static, X_f, a_priv, a_shared, nbr_f)
+                sel_c = jnp.clip(sel, 0, A - 1)
+                take = lambda t: jax.tree.map(lambda x: x[sel_c], t)
+                do_sel = jnp.logical_and(sel >= 0, active_blk[sel_c])
+                X_sel, _, _ = _agent_round(
+                    pr, cfg, take(qd_static), X_f[sel_c],
+                    take(a_priv), take(a_shared), nbr_f[sel_c], do_sel,
+                )
+                X_upd = X_f.at[sel_c].set(
+                    jnp.where(do_sel, X_sel, X_f[sel_c])
+                )
+                return X_upd, gnorm_a, cost_a
+
+            def _all_agents(ops):
+                X_f, nbr_f = ops
+                return jax.vmap(partial(_agent_round, pr, cfg))(
+                    qd_static, X_f, a_priv, a_shared, nbr_f, do_opt
+                )
+
+            # sel = -1 is the documented 'all agents optimize' sentinel and
+            # must keep the same semantics on one device as on the mesh
+            # (where the vmapped path always runs)
+            return jax.lax.cond(
+                sel >= 0, _one_selected, _all_agents, (X_from, nbr_from)
             )
-            X_upd = X_from.at[sel_c].set(
-                jnp.where(do_sel, X_sel, X_from[sel_c])
-            )
-            return X_upd, gnorm_a, cost_a
         return jax.vmap(partial(_agent_round, pr, cfg))(
             qd_static, X_from, a_priv, a_shared, nbr_from, do_opt
         )

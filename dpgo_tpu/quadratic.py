@@ -367,7 +367,15 @@ def build_q_data(
                 G=G, precond_inv=precond_inv, band_E=band_E, csr=None,
                 btf=btf, band_offsets=offs,
             )
-        precond = "tridiag"  # bandwidth too large: fall through
+        # bandwidth too large: fall back under the same size policy as the
+        # tracer branch of 'auto' — an uncapped tridiag factorization of a
+        # 100k chain is the configuration documented to destabilize the
+        # tunneled worker (and lose to jacobi)
+        precond = (
+            "tridiag"
+            if band_E is not None and 1 in offs and 1 < n <= 5_000
+            else "jacobi"
+        )
     if precond == "tridiag" and band_E is not None and 1 in offs and n > 1:
         from dpgo_tpu.ops import block_tridiag as _bt
 
@@ -813,8 +821,12 @@ def choose_band_offsets(
     # the block-tridiagonal preconditioner)
     if 1 in vals and 1 not in keep:
         if len(keep) >= max_lanes:
-            # evict the LOWEST-count lane (keep is in descending-count order)
-            keep = np.append(keep[: max_lanes - 1], 1)
+            # evict the LOWEST-count lane; keep is only count-ordered when
+            # the > max_lanes truncation ran, so re-sort explicitly (at
+            # len == max_lanes exactly it is in ascending-OFFSET order and
+            # slicing would evict the largest offset instead)
+            order = np.argsort(-kcnt)
+            keep = np.append(keep[order][: max_lanes - 1], 1)
         else:
             keep = np.append(keep, 1)
     return tuple(int(v) for v in np.sort(keep))

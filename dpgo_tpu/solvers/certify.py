@@ -206,8 +206,20 @@ def min_eig_certificate(
     eta: float = 1e-6,
     seed: int = 0,
     refine_iters: int = 400,
+    seeds: Optional[Tuple[int, ...]] = None,
 ) -> CertificateResult:
     """lambda_min(S) via DEFLATED matrix-free Lanczos.
+
+    Soundness caveat (standard for iterative certificates, SE-Sync
+    included): the bound lambda >= theta - ||r|| is rigorous for the
+    eigenvalue NEAREST theta; it bounds lambda_min only when the returned
+    pair approximates the BOTTOM of the deflated spectrum. Random-start
+    Lanczos with full reorthogonalization plus the monotone Rayleigh-
+    quotient refinement makes convergence onto an interior eigenvalue a
+    measure-zero event (it requires the start to have numerically zero
+    overlap with the bottom eigenvector), but it is not a proof. Pass
+    seeds=(0, 1, ...) to re-run from independent starts and take the
+    worst-case result.
 
     At a critical point S annihilates the entire row space of X
     (stationarity: X S = 0) plus the translation-gauge vector — a
@@ -223,6 +235,13 @@ def min_eig_certificate(
     (Weyl on the 2x2 block form; the coupling ||PSB|| ~ stationarity error,
     ~0 at convergence). The certificate passes when the bound is >= -eta.
     Dominant cost: k+q+1 q_matvecs, all jit-compiled."""
+    if seeds is not None:
+        results = [
+            min_eig_certificate(qd, X, k=k, eta=eta, seed=s,
+                                refine_iters=refine_iters)
+            for s in seeds
+        ]
+        return min(results, key=lambda c: c.lambda_min_lower)
     n, r, dh = X.shape
     d = dh - 1
     m = n * dh
@@ -347,7 +366,11 @@ def lift_and_escape(
         if float(quadratic.cost(qd_next, Xp)) < f0 - 1e-15:
             return Xp
         eps *= 0.5
-    return Xp  # last (smallest-step) attempt
+    # no decreasing step found (the direction's second-order model did not
+    # hold — e.g. the certificate was evaluated away from a true critical
+    # point): return the PLAIN lift, whose cost equals f0 exactly, never a
+    # cost-increasing iterate
+    return X_pad
 
 
 def certify_solution(

@@ -251,9 +251,20 @@ def _rtr_iteration(qd, state: RTRState, max_inner: int, max_radius, shrink_only:
         eg = qm_new + qd.G
 
     model_decrease = -(lifted.inner(state.grad, tcg.eta) + 0.5 * lifted.inner(tcg.eta, tcg.Heta))
-    # small regularization guards rho against cancellation near convergence
-    reg = 1e3 * jnp.finfo(state.fx.dtype).eps * jnp.maximum(1.0, jnp.abs(state.fx))
-    rho = (state.fx - f_new + reg) / (model_decrease + reg)
+    if residual_control:
+        # rho WITHOUT numerator inflation (mirrors delta._delta_rtr_step):
+        # df is cancellation-free here, so a true cost increase must be
+        # rejected — the cost-scaled reg below would accept noise steps near
+        # convergence (up to ~1e3*eps*|fx|) which Nesterov then amplifies.
+        # The denominator guard only avoids 0/0 (Steihaug decrease >= 0).
+        rho = (state.fx - f_new) / jnp.maximum(
+            model_decrease, jnp.finfo(state.fx.dtype).tiny
+        )
+    else:
+        # small regularization guards rho against cancellation near
+        # convergence (the direct f(X')-f(X) subtraction loses all digits)
+        reg = 1e3 * jnp.finfo(state.fx.dtype).eps * jnp.maximum(1.0, jnp.abs(state.fx))
+        rho = (state.fx - f_new + reg) / (model_decrease + reg)
 
     accept = rho > _RHO_PRIME
     if shrink_only:

@@ -62,7 +62,13 @@ problem, ranges = spmd.build_spmd_problem(
     meas, n, num_agents=num_agents, r=r, dtype=jnp.float32
 )
 cache = f"/tmp/chordal_grid3d_{num_poses}_{seed}.npz"
-T = np.load(cache)["T"]
+if os.path.exists(cache):
+    T = np.load(cache)["T"]
+else:
+    from dpgo_tpu.solvers import chordal as chordal_mod
+
+    T = np.asarray(chordal_mod.chordal_initialization_arrays(edges, n=n))
+    np.savez(cache, T=T)
 Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
 X0 = np.einsum("rd,nde->nre", Y_lift, T)[order]
 state = spmd.initial_state(problem, X0, ranges)
