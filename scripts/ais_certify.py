@@ -62,7 +62,12 @@ def main():
     edges = EdgeArrays.from_measurements(meas)
     problem = quadratic.from_private_measurements(edges, n=n, d=d)
 
-    state_path = "/tmp/ais_certify_state.npz"
+    # The round host's /tmp does not survive driver rounds; a repo-local
+    # checkpoint lets the next round resume the long CPU certification run.
+    state_path = os.environ.get(
+        "DPGO_AIS_STATE", os.path.join(_REPO, "data", "ais_certify_state.npz")
+    )
+    os.makedirs(os.path.dirname(state_path), exist_ok=True)
     if os.path.exists(state_path):
         X = jnp.asarray(np.load(state_path)["X"])
         print(f"resuming from {state_path}", flush=True)

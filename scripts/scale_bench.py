@@ -142,15 +142,18 @@ def main():
             cfg, rtr_residual_control=True, rtr_inner_control_matvecs=False,
             rtr_inner_dtype=None,
             rtr_tcg_precision=None if tcg_prec == "none" else tcg_prec,
-            # tuning knobs (scripts/tune_delta.py / tune_schedule.py map the
-            # space; tcg=20 measured ~23% cheaper per round than 50 at 100k
-            # for near-identical per-round progress)
+            # tuning knobs — defaults are the measured winners from
+            # scripts/tune_delta.py / tune_schedule.py (tCG budget 20 is
+            # ~23% cheaper per round than 50 at 100k for near-identical
+            # per-round progress; adaptive-restart-only + nesterov_n=5 cut
+            # rounds-to-tol ~19% at 10k and 686 -> 471 at 100k). Certified
+            # 100k with these defaults: 385 s, 31.7x CPU f64 (docs/PERF.md).
             rtr_tcg_iterations=int(
-                os.environ.get("DPGO_SCALE_TCG_ITERS", "50")),
+                os.environ.get("DPGO_SCALE_TCG_ITERS", "20")),
             restart_interval=int(
-                os.environ.get("DPGO_SCALE_RESTART_INT", "30")),
+                os.environ.get("DPGO_SCALE_RESTART_INT", "1000000")),
             nesterov_n=(lambda v: None if v == "" else int(v))(
-                os.environ.get("DPGO_SCALE_NESTEROV_N", "")),
+                os.environ.get("DPGO_SCALE_NESTEROV_N", "5")),
         )
         t0 = time.perf_counter()
         # phase 1: bulk descent on the PLAIN f32 engine (`run`, the proven
