@@ -139,6 +139,12 @@ def run_distributed(meas, n):
         rtr_gradnorm_tol=TOL / (2 * np.sqrt(NUM_AGENTS)),
         rtr_inner_dtype="float32" if mixed else None,
         adaptive_restart=True,
+        # tuned Nesterov schedule (scripts/tune_schedule.py winners; in
+        # mode='all' every block updates per round, so a smaller effective
+        # team size is admissible and the adaptive restart trigger alone
+        # beats periodic restarts): 331 rounds / 9.25 s to tol vs 480 / 15.0
+        # with the defaults, measured on the real chip (docs/PERF.md).
+        restart_interval=10**6, nesterov_n=5,
     )
     # Two phases on TPU: inner-precision control matvecs for the bulk
     # (~1.7x/round), full-precision control for the final stretch; chunked
