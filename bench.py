@@ -82,14 +82,12 @@ def run_centralized(meas, n, verbose=False):
             tol=1e-6 if mixed else 1e-10,
         )
         X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
-        qd = quadratic.build_quadratic_data(
-            problem, jnp.zeros((1, RANK, d + 1)), r=RANK, precond="auto"
-        )
-        # Pallas CSR segment-sum for the gather-path (non-laneable) edges;
-        # no-op off TPU / when nearly all edges are laneable
-        qd = quadratic.attach_csr_plans(qd)
-        X, stats = rtr_mod.rtr_solve(
-            qd, X0, gradnorm_tol=TOL, initial_radius=100.0,
+        # measured preconditioner selection: cheap block-Jacobi probe,
+        # exact banded factor only on a measured stall (sphere2500 converges
+        # in the probe; the r3 static-banded choice cost 2.25x wall here —
+        # see rtr_solve_auto). CSR plans attach inside (TPU, large m only).
+        X, stats = rtr_mod.rtr_solve_auto(
+            problem, X0, gradnorm_tol=TOL, initial_radius=100.0,
             max_iterations=100, max_inner=200,
             inner_dtype=jnp.float32 if mixed else None,
         )
@@ -317,8 +315,12 @@ def run_city10000_central():
     X0 = jnp.einsum("rd,nde->nre", Y_lift, T)
 
     def solve(use_csr):
+        # controlled A/B on the gather-path matvec: block-Jacobi both arms
+        # (the banded factor's s*dh=552 applications would dominate wall and
+        # mask the CSR delta; jacobi is also what rtr_solve_auto's measured
+        # selection settles on for this config)
         qd = quadratic.build_quadratic_data(
-            problem, jnp.zeros((1, r, d + 1)), r=r, precond="auto"
+            problem, jnp.zeros((1, r, d + 1)), r=r, precond="jacobi"
         )
         if use_csr:
             qd = quadratic.attach_csr_plans(qd)

@@ -470,6 +470,85 @@ def rtr_solve(
     return X_out, stats
 
 
+def rtr_solve_auto(
+    problem,
+    X0: jax.Array,
+    gradnorm_tol: float,
+    initial_radius: float = 100.0,
+    max_iterations: int = 100,
+    max_inner: int = 200,
+    probe_iterations: int = 15,
+    inner_dtype=None,
+    attach_csr: bool = True,
+    precond_shift: float = None,
+    **solve_kwargs,
+) -> Tuple[jax.Array, RTRStats]:
+    """Centralized solve with MEASURED (wall-time-aware) preconditioner
+    selection — the production driver for full-batch solves.
+
+    Phase 1 runs up to `probe_iterations` outer RTR iterations with the
+    cheap block-Jacobi preconditioner (one batched (dh,dh) matmul per tCG
+    application). Well-conditioned problems (sphere2500 class) converge here
+    and never pay for an exact factor — neither its factorization nor its
+    ~s-fold per-application cost (s = RCM superblock bandwidth).
+
+    Phase 2 runs ONLY on a measured stall (phase 1 ends above tol): rebuild
+    with the exact banded factor (RCM + superblock cyclic reduction,
+    ops/block_tridiag.py — Cholmod-LDL^T parity with the reference's
+    PoseGraph.cpp:598-613) and continue from the phase-1 iterate.
+    Ill-conditioned problems (ais2klinik class) pay the factor cost only
+    because Jacobi demonstrably failed.
+
+    The selection is by measurement because prediction is impossible from
+    graph structure alone: the exact factor cuts sphere2500's tCG iteration
+    count ~6x yet costs 2.25x MORE wall time there (BENCH_r02 vs r03), while
+    on ais2klinik (smaller bandwidth!) it is the difference between
+    convergence and a multi-hour stall (docs/PERF.md).
+    """
+    import numpy as _np
+
+    from dpgo_tpu import quadratic as _q
+
+    r = int(X0.shape[-2])
+    dh = int(X0.shape[-1])
+    shift_kw = {} if precond_shift is None else {"precond_shift": precond_shift}
+    zeros_nbr = jnp.zeros((1, r, dh), X0.dtype)
+
+    def _build(precond):
+        qd = _q.build_quadratic_data(problem, zeros_nbr, r=r,
+                                     precond=precond, **shift_kw)
+        return _q.attach_csr_plans(qd) if attach_csr else qd
+
+    probe = min(probe_iterations, max_iterations)
+    qd1 = _build("jacobi")
+    X, stats = rtr_solve(
+        qd1, X0, gradnorm_tol, initial_radius,
+        max_iterations=probe, max_inner=max_inner,
+        inner_dtype=inner_dtype, **solve_kwargs,
+    )
+    gn = float(stats.gnorm_opt)
+    if gn < gradnorm_tol or probe >= max_iterations:
+        return X, stats
+
+    # measured stall: escalate to the exact factor and continue
+    qd2 = _build("banded")
+    X2, stats2 = rtr_solve(
+        qd2, X, gradnorm_tol, initial_radius,
+        max_iterations=max_iterations - probe, max_inner=max_inner,
+        inner_dtype=inner_dtype, **solve_kwargs,
+    )
+    merged = RTRStats(
+        f_init=stats.f_init,
+        gnorm_init=stats.gnorm_init,
+        f_opt=stats2.f_opt,
+        gnorm_opt=stats2.gnorm_opt,
+        iterations=stats.iterations + stats2.iterations,
+        accepted=stats2.accepted,
+        tcg_iters=stats.tcg_iters + stats2.tcg_iters,
+    )
+    return X2, merged
+
+
 def initial_cost_gradnorm(
     qd: QuadraticData,
     Y0: jax.Array,

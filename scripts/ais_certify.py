@@ -67,7 +67,9 @@ def main():
     state_path = os.environ.get(
         "DPGO_AIS_STATE", os.path.join(_REPO, "data", "ais_certify_state.npz")
     )
-    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+    state_dir = os.path.dirname(state_path)
+    if state_dir:  # DPGO_AIS_STATE may be a bare filename (dirname '')
+        os.makedirs(state_dir, exist_ok=True)
     if os.path.exists(state_path):
         X = jnp.asarray(np.load(state_path)["X"])
         print(f"resuming from {state_path}", flush=True)
@@ -77,7 +79,7 @@ def main():
         X = jnp.einsum("rd,nde->nre", Y_lift, T)
 
     qd = quadratic.build_quadratic_data(
-        problem, jnp.zeros((1, r, d + 1)), r=r, precond="auto",
+        problem, jnp.zeros((1, r, d + 1)), r=r, precond="banded",
         precond_shift=shift,
     )
     print(f"shift={shift} max_inner={max_inner} tol={tol} "
@@ -93,7 +95,10 @@ def main():
             max_iterations=25, max_inner=max_inner,
         )
         gn = float(stats.gnorm_opt)
-        np.savez(state_path, X=np.asarray(X))
+        # atomic checkpoint: a crash mid-write must not corrupt the very
+        # resume state this file exists to protect
+        np.savez(state_path + ".tmp.npz", X=np.asarray(X))
+        os.replace(state_path + ".tmp.npz", state_path)
         print(f"blk {blk:3d} tcg={int(stats.tcg_iters):5d} gn={gn:.4f} "
               f"cost={2 * float(stats.f_opt):.4f} ({time.time() - t0:.0f}s)",
               flush=True)

@@ -9,6 +9,7 @@ escape from a deliberately suboptimal critical point.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dpgo_tpu import quadratic
 from dpgo_tpu.io.g2o import read_g2o_file
@@ -172,6 +173,7 @@ def _setup_from(meas, r):
     return meas, n, d, qd, X0
 
 
+@pytest.mark.slow
 def test_certify_sphere2500_global_optimum():
     """sphere2500's converged solve is certified GLOBALLY optimal by the
     dual certificate — an independent proof of the 1687.0058 anchor the
@@ -240,6 +242,7 @@ def test_certify_distributed_solution():
     np.testing.assert_allclose(c_dist, c_pol, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_certify_city10000_global_optimum():
     """city10000 (SE(2), 10,000 poses): the centralized solve is certified
     globally optimal — the optimum (638.6246) that the distributed bench's
