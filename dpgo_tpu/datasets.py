@@ -114,6 +114,117 @@ def synthesize_grid3d(
     return edges, n, T_true
 
 
+def synthesize_city2d(
+    num_poses: int,
+    kappa: float = 50.0,
+    tau: float = 5.0,
+    rot_noise: float = 0.01,
+    tran_noise: float = 0.05,
+    lc_per_pose: float = 1.05,
+    min_gap: int = 10,
+    p_turn: float = 0.2,
+    seed: int = 0,
+) -> Tuple[EdgeArrays, int, np.ndarray]:
+    """Deterministic SE(2) Manhattan-world pose graph — the structure of the
+    missing g2o100k / city10000 family (BASELINE.json config #5): a vehicle
+    random-walking a bounded street grid, odometry chain + loop closures
+    between far-apart revisits of the same cell.
+
+    Unlike the grid3d lattice world, the loop closures here connect pose ids
+    at RANDOM (revisit-time) offsets — no relabeling can concentrate them on
+    a few band lanes, so the matvec's gather path does real work (band
+    coverage ~= the odometry fraction, ~50%, like city10000). This is the
+    non-lattice scale world the 100k certified pipeline is measured on.
+
+    Returns (edges, num_poses, T_true) with T_true: (n, 2, 3).
+    """
+    rng = np.random.default_rng(seed)
+    n = num_poses
+    # bounded street grid sized so the walk revisits cells often enough to
+    # supply ~lc_per_pose loop closures (consecutive-visit pairs per cell)
+    s = max(8, int(round(np.sqrt(n) / 4.0)))
+
+    # Manhattan walk: headings 0..3 = E,N,W,S; turn +-90deg with prob p_turn,
+    # forced turns at the boundary. Sequential scalar loop (host-side, ~1 s
+    # at 100k) — the walk is inherently a recurrence.
+    turns = rng.random(n)
+    turn_dir = rng.integers(0, 2, n) * 2 - 1  # -1 or +1
+    DX = np.array([1, 0, -1, 0])
+    DY = np.array([0, 1, 0, -1])
+    pos = np.empty((n, 2), np.int64)
+    head = np.empty(n, np.int64)
+    x = y = s // 2
+    h = 0
+    for k in range(n):
+        pos[k] = (x, y)
+        head[k] = h
+        if turns[k] < p_turn:
+            h = (h + turn_dir[k]) % 4
+        # forced turn when the next step would leave the grid
+        for _ in range(4):
+            nx, ny = x + DX[h], y + DY[h]
+            if 0 <= nx < s and 0 <= ny < s:
+                break
+            h = (h + 1) % 4
+        x, y = x + DX[h], y + DY[h]
+
+    theta = head * (np.pi / 2.0)
+    c, si = np.cos(theta), np.sin(theta)
+    R_true = np.stack(
+        [np.stack([c, -si], axis=-1), np.stack([si, c], axis=-1)], axis=-2
+    )  # (n, 2, 2)
+    t_true = pos.astype(np.float64)
+
+    # loop closures: consecutive visits to the same cell, min_gap apart
+    cell = pos[:, 0] * s + pos[:, 1]
+    order = np.argsort(cell, kind="stable")  # stable: time-ordered per cell
+    cs = cell[order]
+    same = cs[1:] == cs[:-1]
+    a = order[:-1][same]
+    b = order[1:][same]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    ok = hi - lo >= min_gap
+    lo, hi = lo[ok], hi[ok]
+    target = int(lc_per_pose * n)
+    if len(lo) > target:
+        pick = rng.choice(len(lo), target, replace=False)
+        pick.sort()
+        lo, hi = lo[pick], hi[pick]
+
+    i_all = np.concatenate([np.arange(n - 1), lo])
+    j_all = np.concatenate([np.arange(1, n), hi])
+    m = len(i_all)
+
+    # relative SE(2) measurements with noise
+    Ri = R_true[i_all]
+    Rj = R_true[j_all]
+    R_rel = np.einsum("mba,mbc->mac", Ri, Rj)  # Ri^T Rj
+    ang = rot_noise * rng.standard_normal(m)
+    ca, sa = np.cos(ang), np.sin(ang)
+    noise_R = np.stack(
+        [np.stack([ca, -sa], axis=-1), np.stack([sa, ca], axis=-1)], axis=-2
+    )
+    R_meas = np.einsum("mab,mbc->mac", R_rel, noise_R)
+    t_rel = np.einsum("mba,mb->ma", Ri, t_true[j_all] - t_true[i_all])
+    t_meas = t_rel + tran_noise * rng.standard_normal((m, 2))
+
+    edges = EdgeArrays(
+        r1=np.zeros(m, np.int32),
+        r2=np.zeros(m, np.int32),
+        p1=i_all.astype(np.int32),
+        p2=j_all.astype(np.int32),
+        R=R_meas,
+        t=t_meas,
+        kappa=np.full(m, kappa),
+        tau=np.full(m, tau),
+        weight=np.ones(m),
+        fixed_weight=(i_all + 1 == j_all),
+    )
+    T_true = np.concatenate([R_true, t_true[:, :, None]], axis=-1)
+    return edges, n, T_true
+
+
 def write_g2o(edges: EdgeArrays, path: str) -> None:
     """Write SE(3) edges as EDGE_SE3:QUAT records with isotropic information
     (kappa on the rotation block, tau on translation, matching the parser's

@@ -48,8 +48,15 @@ plain f32 SPMD engine (parallel/spmd.py) handles the bulk descent where the
 quantization floor is irrelevant. Deviation from the reference: the local
 solver here uses the polar retraction (second-order) instead of ROPTLIB's
 qf/QR retraction (LiftedSEManifold.cpp:19) — any retraction yields a valid
-RTR; documented in docs/PARITY.md. Elastic membership and GNC are served by
-the main engine, not this one.
+RTR; documented in docs/PARITY.md.
+
+Robust (GNC-TLS) and elastic runs work at certified quality too: the engine
+already carries per-edge residuals in residual form, so GNC reweighting
+(delta_gnc_reweight / run_delta_gnc — reference semantics
+PGOAgent.cpp:997-1142) costs one extra residual evaluation per weight
+update, and the runtime robot_active mask freezes inactive agents' blocks
+and drops their shared edges exactly as the main engine does
+(_delta_round; reference PGOAgent.cpp:1173-1184).
 """
 
 from __future__ import annotations
@@ -665,6 +672,18 @@ def _delta_round(problem_blk, cfg, axis_name,
     pr = problem_blk
     nb = _nb_of(pr, use_lanes)
     om_p, om_s = _omegas(pr)
+    # elastic membership (reference: PGOAgent.cpp:1173-1184, PoseGraph.cpp:
+    # 418-430): shared edges whose neighbor is inactive drop from the
+    # residual-form cost/gradient (the Hessian side is masked inside
+    # _build_qd_static via the same _shared_activity_mask); inactive agents'
+    # own blocks are frozen below.
+    om_s = om_s * spmd_mod._shared_activity_mask(pr, cfg)[..., None]
+    A = pr.priv_i.shape[0]
+    offset = (jnp.asarray(0, jnp.int32) if axis_name is None
+              else jax.lax.axis_index(axis_name).astype(jnp.int32) * A)
+    active_blk = pr.robot_active[offset + jnp.arange(A, dtype=jnp.int32)]
+    act = active_blk[:, None, None, None]
+    act_f = active_blk.astype(state.D.dtype)
     a_priv = (pr.priv_i[:, nb:], pr.priv_j[:, nb:], pr.priv_T[:, nb:],
               om_p[:, nb:])
     a_shared = (pr.shared_idx, pr.shared_T, om_s, pr.shared_outgoing)
@@ -731,15 +750,20 @@ def _delta_round(problem_blk, cfg, axis_name,
         alpha = 1.0 / (gamma * Nn)
         DY_acc = project_blk((1.0 - alpha) * state.D + alpha * state.DV)
         DY = jnp.where(restart, state.D, DY_acc)
+        # inactive agents exchange their FROZEN delta (their last pose),
+        # not an extrapolation of it
+        DY = jnp.where(act, DY, state.D)
         nbrD = gather_nbr(DY)
         D_opt, gnorm_a, cost_a = run_agents(DY, nbrD)
+        D_opt = jnp.where(act, D_opt, state.D)
         DV = jnp.where(
             restart, D_opt, project_blk(state.DV + gamma * (D_opt - DY))
         )
-        cost_now = psum(jnp.sum(cost_a))
+        DV = jnp.where(act, DV, state.D)
+        cost_now = psum(jnp.sum(cost_a * act_f))
         new_state = DeltaState(
             D=D_opt,
-            DY=jnp.where(restart, D_opt, DY),
+            DY=jnp.where(act, jnp.where(restart, D_opt, DY), state.D),
             DV=DV,
             ACC=state.ACC,
             gamma=jnp.where(restart, 0.0, gamma).astype(state.gamma.dtype),
@@ -750,10 +774,11 @@ def _delta_round(problem_blk, cfg, axis_name,
     else:
         nbrD = gather_nbr(state.D)
         D_opt, gnorm_a, cost_a = run_agents(state.D, nbrD)
+        D_opt = jnp.where(act, D_opt, state.D)
         new_state = DeltaState(
             D=D_opt, DY=D_opt, DV=D_opt, ACC=state.ACC,
             gamma=state.gamma, it=state.it + 1,
-            prev_cost=psum(jnp.sum(cost_a)),
+            prev_cost=psum(jnp.sum(cost_a * act_f)),
             do_restart=jnp.asarray(False),
         )
 
@@ -763,9 +788,12 @@ def _delta_round(problem_blk, cfg, axis_name,
             jnp.linalg.norm(a[..., -1] - b[..., -1], axis=-1)
         )
     )(new_state.D, state.D)
+    # inactive robots are excluded from every team metric (reference:
+    # PGOAgent.cpp:860-861, PoseGraph.cpp:320-327); their shared edges are
+    # already dropped via the activity-masked omegas
     metrics = spmd_mod.RoundMetrics(
-        cost=psum(jnp.sum(cost_a)),
-        gradnorm=jnp.sqrt(psum(jnp.sum(gnorm_a**2))),
+        cost=psum(jnp.sum(cost_a * act_f)),
+        gradnorm=jnp.sqrt(psum(jnp.sum(gnorm_a**2 * act_f))),
         max_rel_change=jax.lax.pmax(jnp.max(rel), axis_name)
         if axis_name is not None else jnp.max(rel),
     )
@@ -1041,3 +1069,129 @@ def run_delta_certified(
                   f"cost={cost:.2f}", flush=True)
     info = {"rounds": total, "trace": trace, "device_gradnorm": gn}
     return point_now(state), info
+
+
+# ---------------------------------------------------------------------------
+# GNC-TLS + elastic membership on the delta engine (robust outlier rejection
+# at certified scale; reference semantics PGOAgent.cpp:997-1142)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def delta_residuals_sq(problem: spmd_mod.SPMDProblem, ref: DeltaRef,
+                       D: jax.Array):
+    """Per-edge squared measurement residuals at (anchor + D), entirely in
+    residual form: Res = Res_ref + ΔRes(D) with ΔRes edge-local in the
+    deltas — no pose values are ever materialized, so the evaluation is as
+    cancellation-free as the engine's cost/gradient. Homogeneous residual
+    columns split as Res[..., :d] = Yi·R − Yj (rotation) and
+    Res[..., d] = Yi·t + ti − tj (translation); the squared residual is the
+    reference's kappa·||rot||² + tau·||trans||² (PGOAgent.cpp:1062-1101).
+    Returns ((N, mp), (N, ms)); padded edges report 0 (kappa = tau = 0)."""
+    pr = problem
+    d = pr.d
+    n = pr.n_max
+    _N, _n, r, dh = D.shape
+
+    def dres_priv(Da, pi, pj, pT):
+        m = pi.shape[0]
+        Df = Da.reshape(n, r * dh)
+        Di = Df[pi].reshape(m, r, dh)
+        Dj = Df[pj].reshape(m, r, dh)
+        return jnp.einsum("mra,mab->mrb", Di, pT, precision=_HI) - Dj
+
+    Res_p = ref.res_ref_priv + jax.vmap(dres_priv)(
+        D, pr.priv_i, pr.priv_j, pr.priv_T
+    )
+    r_sq_priv = (
+        pr.priv_kappa * jnp.sum(Res_p[..., :d] ** 2, axis=(-2, -1))
+        + pr.priv_tau * jnp.sum(Res_p[..., d] ** 2, axis=-1)
+    )
+
+    pub = jax.vmap(lambda Da, idx: Da[idx])(D, pr.pub_idx)
+    nbrD = pub[pr.shared_nbr_robot, pr.shared_nbr_slot]
+
+    def dres_shared(Da, nd, sidx, sT, so):
+        ms = sidx.shape[0]
+        Dl = Da.reshape(n, r * dh)[sidx].reshape(ms, r, dh)
+        out_f = so[:, None, None]
+        tailD = jnp.where(out_f, Dl, nd)
+        headD = jnp.where(out_f, nd, Dl)
+        return jnp.einsum("mra,mab->mrb", tailD, sT, precision=_HI) - headD
+
+    Res_s = ref.res_ref_shared + jax.vmap(dres_shared)(
+        D, nbrD, pr.shared_idx, pr.shared_T, pr.shared_outgoing
+    )
+    r_sq_shared = (
+        pr.shared_kappa * jnp.sum(Res_s[..., :d] ** 2, axis=(-2, -1))
+        + pr.shared_tau * jnp.sum(Res_s[..., d] ** 2, axis=-1)
+    )
+    return r_sq_priv, r_sq_shared
+
+
+@jax.jit
+def delta_gnc_reweight(problem: spmd_mod.SPMDProblem, ref: DeltaRef,
+                       D: jax.Array, barc_sq, mu) -> spmd_mod.SPMDProblem:
+    """GNC-TLS measurement reweighting for the delta engine — residual-form
+    residuals + the shared weight-update rule (fixed-weight odometry
+    untouched, edges to inactive neighbors keep their last weight; reference
+    PGOAgent.cpp:1015-1016, 1062-1142). The reweighted problem feeds the
+    next run chunk as a runtime argument: same shapes, no recompile, and the
+    anchor (residuals are weight-independent) stays valid."""
+    r_sq_p, r_sq_s = delta_residuals_sq(problem, ref, D)
+    return spmd_mod._apply_gnc_weights(problem, r_sq_p, r_sq_s, barc_sq, mu)
+
+
+def run_delta_gnc(
+    problem: spmd_mod.SPMDProblem,
+    X0_64: np.ndarray,
+    cfg: spmd_mod.SPMDConfig,
+    barc: float = 5.0,
+    init_mu: Optional[float] = None,
+    mu_step: float = 1.4,
+    num_weight_updates: int = 10,
+    inner_rounds: int = 30,
+    mesh: Optional[Mesh] = None,
+    reanchor_every: int = 25,
+    verbose: bool = False,
+):
+    """Distributed GNC-TLS at certified (delta-engine) quality: alternate
+    fused delta-RBCD chunks with team-wide weight updates and a growing mu
+    (the reference's distributed robust schedule, PGOAgent.cpp:997-1142,
+    mirrored from spmd.run_rbcd_gnc onto the anchored engine).
+
+    init_mu=None uses the adaptive initialization of the reference's batch
+    GNC (DPGO_solver.cpp:356-358): mu0 = barc²/(2·max r² − barc²) at the
+    first converged iterate. The robot_active mask composes: inactive
+    agents' blocks stay frozen through both the inner rounds and the weight
+    updates.
+
+    Returns (problem, state, ref, X64, history): the reweighted problem (its
+    weights identify the outliers), the final delta state/ref (resume or
+    certify from them — e.g. run_delta_certified with the reweighted
+    problem), the f64 iterate, and the per-phase history."""
+    barc_sq = barc * barc
+    run = make_delta_run_fn(problem, cfg, mesh, reanchor_every=reanchor_every)
+    X_base = np.array(X0_64, np.float64)
+    ref = build_delta_ref(problem, X_base)
+    state = initial_delta_state(ref)
+    mu = init_mu
+    history = []
+    for _k in range(num_weight_updates):
+        state, ref, metrics, rounds = run(
+            ref, state, inner_rounds, 0.0, problem=problem
+        )
+        if mu is None:
+            r_sq_p, r_sq_s = delta_residuals_sq(problem, ref, state.D)
+            r_max = float(jnp.maximum(jnp.max(r_sq_p), jnp.max(r_sq_s)))
+            mu = barc_sq / max(2.0 * r_max - barc_sq, barc_sq * 1e-3)
+        problem = delta_gnc_reweight(problem, ref, state.D, barc_sq, mu)
+        mu *= mu_step
+        history.append(
+            {"rounds": int(rounds), "cost": float(metrics.cost), "mu": mu}
+        )
+        if verbose:
+            print(f"  delta-gnc phase {_k}: rounds={int(rounds)} "
+                  f"cost={float(metrics.cost):.4f} mu={mu:.4g}", flush=True)
+    X = (X_base + np.asarray(state.ACC, np.float64)
+         + np.asarray(state.D, np.float64))
+    return problem, state, ref, X, history

@@ -1034,30 +1034,20 @@ def _gnc_residuals_sq(problem: SPMDProblem, state: SPMDState):
     return r_sq_priv, r_sq_shared
 
 
-@jax.jit
-def gnc_reweight(problem: SPMDProblem, state: SPMDState, barc_sq, mu) -> SPMDProblem:
-    """Distributed GNC-TLS measurement reweighting as one jitted program
-    (reference: PGOAgent.cpp:1062-1142, computeMeasurementResidual +
-    updateMeasurementWeights, lowered to batched array ops).
-
-    Residuals are evaluated in the lifted space at the current X (private
-    edges) and against the *current public poses* (shared edges). Weights of
-    fixed-weight edges (odometry) are untouched. Runs replicated — each agent
-    block depends only on its own rows + the gathered public poses, so the
-    same function works under shard_map.
-    """
-    from dpgo_tpu.robust import gnc_tls_weights
-
+def _apply_gnc_weights(problem: SPMDProblem, r_sq_priv, r_sq_shared,
+                       barc_sq, mu) -> SPMDProblem:
+    """GNC-TLS weight update from precomputed squared residuals — the rule
+    shared by the plain engine (lifted residuals at X) and the delta engine
+    (residual-form at anchor + D). Weights of fixed-weight edges (odometry)
+    are untouched; shared edges to an INACTIVE neighbor keep their last
+    weight — the reference skips inactive robots in weight updates
+    (PGOAgent.cpp:1015-1016); their cached pose may be stale, so the
+    residual is not trustworthy."""
     from dpgo_tpu.robust import gnc_tls_weights as _w
 
-    r_sq_priv, r_sq_shared = _gnc_residuals_sq(problem, state)
     new_priv_w = jnp.where(
         problem.priv_fixed_weight, problem.priv_weight, _w(r_sq_priv, barc_sq, mu)
     )
-    # shared edges to an INACTIVE neighbor keep their last weight — the
-    # reference skips inactive robots in weight updates (PGOAgent.cpp:
-    # 1015-1016); their cached pose may be stale, so the residual is not
-    # trustworthy
     nbr_inactive = ~problem.robot_active[problem.shared_nbr_robot]
     new_shared_w = jnp.where(
         problem.shared_fixed_weight | nbr_inactive,
@@ -1066,6 +1056,21 @@ def gnc_reweight(problem: SPMDProblem, state: SPMDState, barc_sq, mu) -> SPMDPro
     return dataclasses.replace(
         problem, priv_weight=new_priv_w, shared_weight=new_shared_w
     )
+
+
+@jax.jit
+def gnc_reweight(problem: SPMDProblem, state: SPMDState, barc_sq, mu) -> SPMDProblem:
+    """Distributed GNC-TLS measurement reweighting as one jitted program
+    (reference: PGOAgent.cpp:1062-1142, computeMeasurementResidual +
+    updateMeasurementWeights, lowered to batched array ops).
+
+    Residuals are evaluated in the lifted space at the current X (private
+    edges) and against the *current public poses* (shared edges). Runs
+    replicated — each agent block depends only on its own rows + the
+    gathered public poses, so the same function works under shard_map.
+    """
+    r_sq_priv, r_sq_shared = _gnc_residuals_sq(problem, state)
+    return _apply_gnc_weights(problem, r_sq_priv, r_sq_shared, barc_sq, mu)
 
 
 def run_rbcd_gnc(

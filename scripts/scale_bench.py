@@ -5,6 +5,14 @@ Usage: python scripts/scale_bench.py [num_poses] [num_agents] [rounds] [dtype]
 Runs on whatever platform JAX selects (TPU under the driver; set
 JAX_PLATFORMS=cpu + unset PALLAS_AXON_POOL_IPS for the CPU baseline).
 
+DPGO_SCALE_WORLD selects the synthetic world:
+* grid3d (default) — SE(3) lattice (grid3D family). After raster relabeling
+  ~100% of edges ride dense band lanes: the friendliest matvec possible.
+* city2d — SE(2) Manhattan world (the g2o100k / city10000 family named by
+  BASELINE.json config #5). Loop closures land at random pose-id offsets, so
+  band coverage stays at the odometry fraction (~50%) and the gather path
+  does real work — the structure the north-star claim must transfer to.
+
 Two scale-specific optimizations:
 * Pose relabeling to raster (lexicographic lattice) order: the synthetic
   grid world's snake-path ids spread the lattice-neighbor offsets over ~s
@@ -29,19 +37,21 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def _chordal_subprocess(num_poses: int, seed: int, out_path: str) -> None:
+def _chordal_subprocess(world: str, num_poses: int, seed: int,
+                        out_path: str) -> None:
     """Run the chordal initialization on CPU in a clean subprocess."""
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    fn = "synthesize_grid3d" if world == "grid3d" else "synthesize_city2d"
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import numpy as np\n"
-        "from dpgo_tpu.datasets import synthesize_grid3d\n"
+        "from dpgo_tpu.datasets import %s as synth\n"
         "from dpgo_tpu.solvers import chordal as chordal_mod\n"
-        "edges, n, _ = synthesize_grid3d(%d, seed=%d)\n"
+        "edges, n, _ = synth(%d, seed=%d)\n"
         "T = np.asarray(chordal_mod.chordal_initialization_arrays(edges, n=n))\n"
-        "np.savez(%r, T=T)\n" % (_REPO, num_poses, seed, out_path)
+        "np.savez(%r, T=T)\n" % (_REPO, fn, num_poses, seed, out_path)
     )
     subprocess.run([sys.executable, "-c", code], env=env, check=True,
                    timeout=3600)
@@ -57,24 +67,31 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dpgo_tpu.datasets import synthesize_grid3d
+    from dpgo_tpu.datasets import synthesize_city2d, synthesize_grid3d
     from dpgo_tpu.ops import lifted
     from dpgo_tpu.parallel import spmd
 
+    world = os.environ.get("DPGO_SCALE_WORLD", "grid3d")
     dtype = jnp.float64 if dtype_s == "f64" else jnp.float32
     t0 = time.perf_counter()
-    edges, n, T_true = synthesize_grid3d(num_poses, seed=seed)
+    if world == "grid3d":
+        edges, n, T_true = synthesize_grid3d(num_poses, seed=seed)
+        d = 3
+    else:
+        edges, n, T_true = synthesize_city2d(num_poses, seed=seed)
+        d = 2
     meas = edges.to_measurements()
-    print(f"synthesize: {time.perf_counter()-t0:.1f}s, {edges.m} edges", file=sys.stderr)
+    print(f"synthesize[{world}]: {time.perf_counter()-t0:.1f}s, "
+          f"{edges.m} edges", file=sys.stderr)
 
     # chordal initialization in the ORIGINAL (odometry-chain) labeling
-    r = 5
+    r = int(os.environ.get("DPGO_SCALE_R", "5" if d == 3 else "3"))
     on_tpu = jax.devices()[0].platform != "cpu"
     t0 = time.perf_counter()
     if on_tpu:
-        cache = f"/tmp/chordal_grid3d_{num_poses}_{seed}.npz"
+        cache = f"/tmp/chordal_{world}_{num_poses}_{seed}.npz"
         if not os.path.exists(cache):
-            _chordal_subprocess(num_poses, seed, cache)
+            _chordal_subprocess(world, num_poses, seed, cache)
         T = np.load(cache)["T"]
     else:
         from dpgo_tpu.solvers import chordal as chordal_mod
@@ -82,9 +99,15 @@ def main():
         T = np.asarray(chordal_mod.chordal_initialization_arrays(edges, n=n))
     print(f"chordal init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # relabel poses to raster order (coords are the ground-truth translations)
-    coords = np.asarray(T_true)[:, :, 3].round().astype(np.int64)
-    order = np.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
+    if world == "grid3d":
+        # relabel poses to raster order (coords = ground-truth translations):
+        # the lattice world's neighbor offsets concentrate on {1, s, s^2}
+        coords = np.asarray(T_true)[:, :, 3].round().astype(np.int64)
+        order = np.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
+    else:
+        # city world: ids are already path order (odometry = offset 1); loop
+        # closures sit at revisit-time offsets no relabeling can laneify
+        order = np.arange(n)
     new_of_old = np.empty(n, np.int64)
     new_of_old[order] = np.arange(n)
     import dataclasses as _dc
@@ -98,7 +121,7 @@ def main():
     problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=num_agents, r=r, dtype=dtype)
     print(f"build problem: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
     X0 = np.einsum("rd,nde->nre", Y_lift, T)[order]
     state = spmd.initial_state(problem, X0, ranges)
 
@@ -155,6 +178,17 @@ def main():
             nesterov_n=(lambda v: None if v == "" else int(v))(
                 os.environ.get("DPGO_SCALE_NESTEROV_N", "5")),
         )
+        # guard against env overrides reaching a divergent configuration:
+        # Jacobi-parallel Nesterov with periodic restarts disabled (or a
+        # team-size override below the true count) is only safe under the
+        # adaptive (function-scheme) restart trigger — see delta.py's
+        # _delta_round comment (ADVICE r3)
+        if cfg.restart_interval > 10_000 or (
+                cfg.nesterov_n is not None and cfg.nesterov_n < num_agents):
+            assert cfg.adaptive_restart, (
+                "restart_interval disabled / nesterov_n < team size requires "
+                "adaptive_restart=True (set DPGO_SCALE_RESTART_INT or enable "
+                "the adaptive trigger)")
         t0 = time.perf_counter()
         # phase 1: bulk descent on the PLAIN f32 engine (`run`, the proven
         # 100k configuration — the certified cfg's residual-control/'high'-
@@ -215,7 +249,8 @@ def main():
         cost_h, gnorm_h = delta_mod.host_certify(problem, X_final)
         total_s = t1 + t2
         print(
-            f"CERTIFIED platform={jax.devices()[0].platform} n={num_poses} "
+            f"CERTIFIED platform={jax.devices()[0].platform} world={world} "
+            f"n={num_poses} "
             f"agents={num_agents} phase1_rounds={total1} "
             f"phase2_rounds={info['rounds']} wall_s={total_s:.2f} "
             f"host_f64_gradnorm={gnorm_h:.6f} host_f64_cost={cost_h:.2f} "
@@ -236,7 +271,8 @@ def main():
         jax.block_until_ready(s2.X)
         dt = time.perf_counter() - t0
         print(
-            f"SINGLE_EXEC platform={jax.devices()[0].platform} n={num_poses} "
+            f"SINGLE_EXEC platform={jax.devices()[0].platform} world={world} "
+            f"n={num_poses} "
             f"agents={num_agents} rounds={int(r2)} compile+run_s={dt:.2f} "
             f"gradnorm={float(m2.gradnorm):.4f} cost={float(m2.cost):.1f}"
         )
@@ -277,7 +313,8 @@ def main():
     jax.block_until_ready(s2.X)
     dt = time.perf_counter() - t0
     print(
-        f"platform={jax.devices()[0].platform} dtype={dtype_s} n={num_poses} "
+        f"platform={jax.devices()[0].platform} world={world} "
+        f"dtype={dtype_s} n={num_poses} "
         f"agents={num_agents}: {total} rounds in {dt:.2f}s = "
         f"{total/dt:.2f} rounds/s | gradnorm={float(m2.gradnorm):.4f} "
         f"cost={float(m2.cost):.1f}"

@@ -244,3 +244,148 @@ def test_delta_sharded_matches_single_device():
     )
     cost_h, gnorm_h = delta_mod.host_certify(problem, X_final)
     assert gnorm_h < 2e-3
+
+
+def _stack_init(problem, ranges, X0, r=5, d=3):
+    X0_stack = np.zeros((len(ranges), problem.n_max, r, d + 1))
+    for a, (s, e) in enumerate(ranges):
+        X0_stack[a, : e - s] = X0[s:e]
+        X0_stack[a, e - s:] = np.asarray(
+            lifted.identity_lifted(problem.n_max - (e - s), r, d)
+        )
+    return X0_stack
+
+
+def test_delta_gnc_rejects_outlier():
+    """GNC-TLS on the delta engine (VERDICT r3 #5): the residual-form
+    reweighting drives the planted outlier shared edge's weight to ~0 on
+    both agents' copies while keeping the clean loop closures — robust
+    outlier rejection now works on the certified-accuracy path, not just
+    the plain f32 engine (reference: PGOAgent.cpp:997-1142)."""
+    from tests.test_distributed_robust import _two_robot_world
+
+    rng = np.random.default_rng(90)
+    meas, n, _ = _two_robot_world(rng, n=8, outlier=True)
+    problem, ranges = spmd.build_spmd_problem(
+        meas, n, num_agents=2, r=5, dtype=jnp.float32
+    )
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, 5))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    X0_stack = _stack_init(problem, ranges, X0)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    problem_out, state, ref, X64, hist = delta_mod.run_delta_gnc(
+        problem, X0_stack, cfg,
+        barc=5.0, init_mu=None, mu_step=1.4,
+        num_weight_updates=16, inner_rounds=15,
+    )
+    w = np.asarray(problem_out.shared_weight)
+    fx = np.asarray(problem_out.shared_fixed_weight)
+    real = ~fx & (np.asarray(problem_out.shared_kappa) > 0)
+    weights = np.sort(w[real])
+    assert weights[0] < 1e-3  # both copies of the outlier edge
+    assert weights[-1] > 0.9
+    per_agent = [np.sort(w[a][real[a]]) for a in range(2)]
+    for pa in per_agent:
+        assert pa[0] < 1e-3 and pa[-1] > 0.9
+    # the reweighted problem then certifies at delta quality: a final
+    # accelerated certified run from the GNC iterate reaches the tolerance
+    # with the outlier ignored (the GNC phases themselves run unaccelerated,
+    # as the reference forbids acceleration under robust costs —
+    # PGOAgent.cpp:477)
+    cfg_cert = spmd.SPMDConfig(
+        mode="all", acceleration=True, adaptive_restart=True,
+        rtr_iterations=1, rtr_gradnorm_tol=1e-3 / (2 * np.sqrt(2)),
+    )
+    X_final, info = delta_mod.run_delta_certified(
+        problem_out, X64, cfg_cert, tol=1e-3, chunk=25, max_rounds=800,
+    )
+    cost_h, gnorm_h = delta_mod.host_certify(problem_out, X_final)
+    assert gnorm_h < 2e-3
+
+
+def test_delta_gnc_sharded_matches_single_device():
+    """The delta-GNC flow on a 2-device mesh produces the same weight
+    decisions as the single-device run (the mesh test of VERDICT r3 #5)."""
+    from jax.sharding import Mesh
+
+    from tests.test_distributed_robust import _two_robot_world
+
+    rng = np.random.default_rng(91)
+    meas, n, _ = _two_robot_world(rng, n=8, outlier=True)
+    problem, ranges = spmd.build_spmd_problem(
+        meas, n, num_agents=2, r=5, dtype=jnp.float32
+    )
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, 5))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    X0_stack = _stack_init(problem, ranges, X0)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("agents",))
+    pr_mesh, *_rest = delta_mod.run_delta_gnc(
+        problem, X0_stack, cfg, barc=5.0, init_mu=None,
+        num_weight_updates=16, inner_rounds=15, mesh=mesh,
+    )
+    pr_local, *_rest = delta_mod.run_delta_gnc(
+        problem, X0_stack, cfg, barc=5.0, init_mu=None,
+        num_weight_updates=16, inner_rounds=15,
+    )
+    w_m = np.asarray(pr_mesh.shared_weight)
+    w_l = np.asarray(pr_local.shared_weight)
+    real = (~np.asarray(problem.shared_fixed_weight)
+            & (np.asarray(problem.shared_kappa) > 0))
+    # same accept/reject decisions on every real shared edge
+    np.testing.assert_array_equal(w_m[real] < 1e-3, w_l[real] < 1e-3)
+    assert np.sort(w_m[real])[0] < 1e-3
+
+
+def test_delta_elastic_membership():
+    """Elastic membership on the delta engine: a robot deactivates mid-run —
+    its block (anchor + delta) freezes exactly, its shared edges drop from
+    the team metrics, GNC leaves its edges' weights untouched — then
+    reactivates and the full team converges (reference:
+    PGOAgent.cpp:1173-1184)."""
+    meas, n = read_g2o_file("/root/reference/data/smallGrid3D.g2o")
+    r, N = 5, 4
+    problem, ranges = spmd.build_spmd_problem(
+        meas, n, num_agents=N, r=r, dtype=jnp.float32
+    )
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    X0_stack = _stack_init(problem, ranges, X0)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    run = delta_mod.make_delta_run_fn(problem, cfg, mesh=None,
+                                      reanchor_every=5)
+    ref = delta_mod.build_delta_ref(problem, X0_stack)
+    state = delta_mod.initial_delta_state(ref)
+
+    # phase 1: full team
+    state, ref, m1, _ = run(ref, state, 10, 0.0)
+    assert np.isfinite(float(m1.cost))
+
+    # phase 2: robot 2 drops out (runtime array change — no recompile)
+    active = np.ones(N, bool)
+    active[2] = False
+    pr_drop = problem.with_robot_active(active)
+    pt_before = (np.asarray(state.ACC, np.float64)
+                 + np.asarray(state.D, np.float64))[2]
+    state, ref, m2, _ = run(ref, state, 30, 0.0, problem=pr_drop)
+    pt_after = (np.asarray(state.ACC, np.float64)
+                + np.asarray(state.D, np.float64))[2]
+    np.testing.assert_array_equal(pt_after, pt_before)
+    assert np.isfinite(float(m2.cost))
+    assert float(m2.gradnorm) < float(m1.gradnorm)
+
+    # GNC reweighting leaves edges to the inactive neighbor untouched
+    pr_w = delta_mod.delta_gnc_reweight(pr_drop, ref, state.D,
+                                        barc_sq=25.0, mu=1e-4)
+    to_inactive = np.asarray(pr_drop.shared_nbr_robot) == 2
+    np.testing.assert_array_equal(
+        np.asarray(pr_w.shared_weight)[to_inactive],
+        np.asarray(pr_drop.shared_weight)[to_inactive],
+    )
+
+    # phase 3: reactivation — the full team converges
+    state, ref, m3, _ = run(ref, state, 400, 1e-2, problem=problem)
+    assert float(m3.gradnorm) < 1e-2
