@@ -197,6 +197,7 @@ def main():
         {k: (round(v, 4) if isinstance(v, float) else v) for k, v in central.items()}
     ), file=sys.stderr)
 
+    dist = None
     if "--skip-distributed" not in sys.argv:
         try:
             dist = run_distributed(meas, n)
@@ -207,19 +208,33 @@ def main():
             print(f"distributed-rbcd failed: {e}", file=sys.stderr)
 
     if "--all" in sys.argv:
-        # BASELINE.json configs #3 (city10000, 5 agents) and #4 (INTEL GNC).
-        # The tunnel's worker takes ~1 min to recover after a crash; retry
-        # each config once after a cool-down.
+        # BASELINE.json configs #3 (city10000, 5 agents) and #4 (INTEL GNC),
+        # the CSR-kernel A/B, and the async-vs-sync datapoint. The tunnel's
+        # worker takes ~1 min to recover after a crash; retry each config
+        # once after a cool-down. --json-out=PATH commits the full matrix as
+        # a driver-verifiable artifact (BENCH_FULL_r*.json).
+        all_out = {
+            "platform": jax.devices()[0].platform,
+            "sphere2500-central": central,
+            "sphere2500-rbcd8": dist,
+        }
         for name, fn in [("city10000-rbcd5", run_city10000),
                          ("city10000-central", run_city10000_central),
-                         ("intel-gnc", run_intel_gnc)]:
+                         ("intel-gnc", run_intel_gnc),
+                         ("sphere2500-async-vs-sync", run_sphere2500_async)]:
             for attempt in range(2):
                 try:
-                    print(f"{name}: " + json.dumps(fn()), file=sys.stderr)
+                    res = fn()
+                    all_out[name] = res
+                    print(f"{name}: " + json.dumps(res), file=sys.stderr)
                     break
                 except Exception as e:
                     print(f"{name} attempt {attempt} failed: {e}", file=sys.stderr)
                     time.sleep(75)
+        for arg in sys.argv:
+            if arg.startswith("--json-out="):
+                with open(arg.split("=", 1)[1], "w") as f:
+                    json.dump(all_out, f, indent=1)
 
 
 def run_city10000():
@@ -345,6 +360,52 @@ def run_city10000_central():
             out["gradnorm"] = round(float(stats.gnorm_opt), 5)
             out["cost"] = round(2 * float(stats.f_opt), 3)
             out["iterations"] = int(stats.iterations)
+    return out
+
+
+def run_sphere2500_async():
+    """Asynchronous RBCD datapoint (VERDICT r3 #7): semantic-async SPMD
+    (Poisson-thinned per-agent updates inside the bulk-synchronous round —
+    the TPU-resident counterpart of the reference's per-agent Exp(rate)
+    optimization threads, PGOAgent.cpp:486-499) vs the synchronous mode='all'
+    engine, both UNaccelerated (the reference forbids acceleration in async
+    mode, PGOAgent.cpp:477), sphere2500 / 8 agents, time and rounds to the
+    example tolerance 0.1."""
+    import jax
+
+    from dpgo_tpu.ops import lifted
+    from dpgo_tpu.parallel import spmd
+    from dpgo_tpu.solvers.pgo import chordal_initialization
+
+    meas, n = _load_dataset()
+    d = meas[0].d
+    tol = 0.1
+    T = chordal_initialization(meas)
+    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=NUM_AGENTS, r=RANK)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, RANK))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state0 = spmd.initial_state(problem, X0, ranges)
+    mixed = jax.devices()[0].platform != "cpu"
+
+    out = {}
+    for mode in ("async", "all"):
+        cfg = spmd.SPMDConfig(
+            mode=mode, acceleration=False, rtr_iterations=1,
+            rtr_gradnorm_tol=tol / (2 * np.sqrt(NUM_AGENTS)),
+            rtr_inner_dtype="float32" if mixed else None,
+        )
+        run_fn = spmd.make_two_phase_run_fn(problem, cfg, mesh=None)
+        s_warm = run_fn.warmup(state0)
+        np.asarray(s_warm.X)
+        t0 = time.perf_counter()
+        state, metrics, rounds = run_fn(state0, 3000, tol)
+        np.asarray(state.X)
+        out[mode] = {
+            "elapsed_s": round(time.perf_counter() - t0, 2),
+            "rounds": int(rounds),
+            "gradnorm": round(float(metrics.gradnorm), 5),
+            "cost": round(float(metrics.cost), 3),
+        }
     return out
 
 

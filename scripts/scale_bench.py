@@ -133,7 +133,28 @@ def main():
         # throughput phase configuration (the tail hand-off to exact control
         # is the two-phase driver's job; see spmd.make_two_phase_run_fn)
         rtr_inner_control_matvecs=on_tpu,
+        # tuned schedule (scripts/tune_delta.py / tune_schedule.py winners)
+        # applied on EVERY platform and mode so CPU baselines are
+        # schedule-matched to the TPU runs (ADVICE r3: the speedup headline
+        # must not bundle hardware-independent algorithm tuning): tCG budget
+        # 20 is ~23% cheaper per round than 50 for near-identical per-round
+        # progress at 100k; adaptive-restart-only + nesterov_n=5 cut
+        # rounds-to-tol ~19% at 10k and 686 -> 471 at 100k.
+        rtr_tcg_iterations=int(os.environ.get("DPGO_SCALE_TCG_ITERS", "20")),
+        restart_interval=int(
+            os.environ.get("DPGO_SCALE_RESTART_INT", "1000000")),
+        nesterov_n=(lambda v: None if v == "" else int(v))(
+            os.environ.get("DPGO_SCALE_NESTEROV_N", "5")),
     )
+    # guard against env overrides reaching a divergent configuration:
+    # Jacobi-parallel Nesterov with periodic restarts disabled (or a
+    # team-size override below the true count) is only safe under the
+    # adaptive (function-scheme) restart trigger (ADVICE r3)
+    if cfg.restart_interval > 10_000 or (
+            cfg.nesterov_n is not None and cfg.nesterov_n < num_agents):
+        assert cfg.adaptive_restart, (
+            "restart_interval disabled / nesterov_n < team size requires "
+            "adaptive_restart=True")
     lane_cover = float(np.mean(
         np.isin(np.asarray(problem.priv_j) - np.asarray(problem.priv_i),
                 np.asarray(problem.band_offsets))
@@ -161,34 +182,14 @@ def main():
         # residual form (HIGHEST-precision, cancellation-free), not from
         # mixed-precision machinery
         tcg_prec = os.environ.get("DPGO_SCALE_TCG_PREC", "high")
+        # schedule knobs are set in the base cfg above (shared with the CPU
+        # baseline); certified 100k with these defaults: 385 s, 31.7x CPU
+        # f64 (docs/PERF.md)
         cfg = _dc2.replace(
             cfg, rtr_residual_control=True, rtr_inner_control_matvecs=False,
             rtr_inner_dtype=None,
             rtr_tcg_precision=None if tcg_prec == "none" else tcg_prec,
-            # tuning knobs — defaults are the measured winners from
-            # scripts/tune_delta.py / tune_schedule.py (tCG budget 20 is
-            # ~23% cheaper per round than 50 at 100k for near-identical
-            # per-round progress; adaptive-restart-only + nesterov_n=5 cut
-            # rounds-to-tol ~19% at 10k and 686 -> 471 at 100k). Certified
-            # 100k with these defaults: 385 s, 31.7x CPU f64 (docs/PERF.md).
-            rtr_tcg_iterations=int(
-                os.environ.get("DPGO_SCALE_TCG_ITERS", "20")),
-            restart_interval=int(
-                os.environ.get("DPGO_SCALE_RESTART_INT", "1000000")),
-            nesterov_n=(lambda v: None if v == "" else int(v))(
-                os.environ.get("DPGO_SCALE_NESTEROV_N", "5")),
         )
-        # guard against env overrides reaching a divergent configuration:
-        # Jacobi-parallel Nesterov with periodic restarts disabled (or a
-        # team-size override below the true count) is only safe under the
-        # adaptive (function-scheme) restart trigger — see delta.py's
-        # _delta_round comment (ADVICE r3)
-        if cfg.restart_interval > 10_000 or (
-                cfg.nesterov_n is not None and cfg.nesterov_n < num_agents):
-            assert cfg.adaptive_restart, (
-                "restart_interval disabled / nesterov_n < team size requires "
-                "adaptive_restart=True (set DPGO_SCALE_RESTART_INT or enable "
-                "the adaptive trigger)")
         t0 = time.perf_counter()
         # phase 1: bulk descent on the PLAIN f32 engine (`run`, the proven
         # 100k configuration — the certified cfg's residual-control/'high'-
@@ -256,6 +257,17 @@ def main():
             f"host_f64_gradnorm={gnorm_h:.6f} host_f64_cost={cost_h:.2f} "
             f"certified={'YES' if gnorm_h < tol else 'NO'}"
         )
+        # save the final iterate for the offline GLOBAL-optimality
+        # certificate (scripts/certify_scale.py re-synthesizes the world,
+        # replays the relabeling, and runs solvers.certify.certify_solution
+        # on CPU f64) — gradnorm-certified above, dual-certified offline
+        save_x = os.environ.get("DPGO_SCALE_SAVE_X")
+        if save_x:
+            np.savez(save_x + ".tmp.npz", X=np.asarray(X_final, np.float64),
+                     order=order, world=world, num_poses=num_poses,
+                     seed=seed, r=r)
+            os.replace(save_x + ".tmp.npz", save_x)
+            print(f"saved final iterate to {save_x}", file=sys.stderr)
         return
 
     # Single-execution mode: at 100k scale the tunnel's TPU worker reliably
