@@ -314,6 +314,11 @@ def main():
             s2_host = jax.tree.map(np.asarray, nxt)  # materialize: checkpoint
             s2 = nxt
             total += int(r2)
+            if total % 25 < chunk:
+                print(f"  round {total}: gradnorm={float(m2.gradnorm):.4f} "
+                      f"cost={float(m2.cost):.2f} "
+                      f"({time.perf_counter()-t0:.0f}s)",
+                      file=sys.stderr, flush=True)
         except Exception as e:  # worker crash: recover and replay the chunk
             failures += 1
             if failures > 6:
