@@ -1046,13 +1046,25 @@ def run_delta_certified(
                 and (calls + 1) % checkpoint_every == 0
                 else None
             )
-        except Exception:  # tunnel TPU worker crash: recover and resume
+        except Exception as e:  # tunnel TPU worker crash: recover and resume
             failures += 1
             if failures > crash_retries:
                 raise
             import time as _time
 
-            _time.sleep(75)
+            print(f"  delta chunk failed ({type(e).__name__}): "
+                  f"{str(e)[:160]}; resuming from checkpoint "
+                  f"(replay {failures}/{crash_retries})", flush=True)
+            # poll for worker recovery instead of a fixed long sleep: a
+            # trivial device round-trip succeeds as soon as the restarted
+            # worker accepts work (each crash previously cost a flat 75 s)
+            for _ in range(20):
+                _time.sleep(15)
+                try:
+                    float(jnp.sum(jnp.ones(8)))
+                    break
+                except Exception:
+                    continue
             X_base = ck_point if ck_point is not None else np.array(
                 X0_64, np.float64
             )
@@ -1067,7 +1079,8 @@ def run_delta_certified(
         if verbose:
             print(f"  delta round {total}: gradnorm={gn:.6f} "
                   f"cost={cost:.2f}", flush=True)
-    info = {"rounds": total, "trace": trace, "device_gradnorm": gn}
+    info = {"rounds": total, "trace": trace, "device_gradnorm": gn,
+            "crash_replays": failures}
     return point_now(state), info
 
 

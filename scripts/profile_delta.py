@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dpgo_tpu.datasets import synthesize_grid3d
+from dpgo_tpu.datasets import synthesize_city2d, synthesize_grid3d
 from dpgo_tpu.ops import lifted
 from dpgo_tpu.parallel import delta as delta_mod
 from dpgo_tpu.parallel import spmd
@@ -27,12 +27,20 @@ from dpgo_tpu.parallel import spmd
 num_poses = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 num_agents = 10
 seed = 1
-r = 5
+world = os.environ.get("DPGO_SCALE_WORLD", "grid3d")
+d = 3 if world == "grid3d" else 2
+r = int(os.environ.get("DPGO_SCALE_R", "5" if d == 3 else "3"))
 
-edges, n, T_true = synthesize_grid3d(num_poses, seed=seed)
+if world == "grid3d":
+    edges, n, T_true = synthesize_grid3d(num_poses, seed=seed)
+else:
+    edges, n, T_true = synthesize_city2d(num_poses, seed=seed)
 meas = edges.to_measurements()
-coords = np.asarray(T_true)[:, :, 3].round().astype(np.int64)
-order = np.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
+if world == "grid3d":
+    coords = np.asarray(T_true)[:, :, d].round().astype(np.int64)
+    order = np.lexsort(tuple(coords[:, k] for k in range(d)))
+else:
+    order = np.arange(n)
 new_of_old = np.empty(n, np.int64)
 new_of_old[order] = np.arange(n)
 meas = [dc.replace(m, p1=int(new_of_old[m.p1]), p2=int(new_of_old[m.p2]))
@@ -41,11 +49,11 @@ problem, ranges = spmd.build_spmd_problem(
     meas, n, num_agents=num_agents, r=r, dtype=jnp.float32
 )
 
-cache = f"/tmp/chordal_grid3d_{num_poses}_{seed}.npz"
+cache = f"/tmp/chordal_{world}_{num_poses}_{seed}.npz"
 T = np.load(cache)["T"] if os.path.exists(cache) else np.asarray(
-    jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4))
+    jnp.broadcast_to(jnp.eye(d, d + 1), (n, d, d + 1))
 )
-Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
 X0 = np.einsum("rd,nde->nre", Y_lift, T)[order]
 state = spmd.initial_state(problem, X0, ranges)
 
