@@ -263,7 +263,12 @@ def main():
         # on CPU f64) — gradnorm-certified above, dual-certified offline
         save_x = os.environ.get("DPGO_SCALE_SAVE_X")
         if save_x:
-            np.savez(save_x + ".tmp.npz", X=np.asarray(X_final, np.float64),
+            # flatten the (N, n_max, r, dh) stacked iterate to the global
+            # (n, r, dh) layout certify_scale.py consumes
+            X_flat = np.zeros((num_poses, r, d + 1))
+            for a, (s_i, e_i) in enumerate(ranges):
+                X_flat[s_i:e_i] = np.asarray(X_final, np.float64)[a, : e_i - s_i]
+            np.savez(save_x + ".tmp.npz", X=X_flat,
                      order=order, world=world, num_poses=num_poses,
                      seed=seed, r=r)
             os.replace(save_x + ".tmp.npz", save_x)
