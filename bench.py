@@ -98,10 +98,15 @@ def run_centralized(meas, n, verbose=False):
     X, stats = full_solve()
     np.asarray(X)
 
-    t0 = time.perf_counter()
-    X, stats = full_solve()
-    np.asarray(X)
-    elapsed = time.perf_counter() - t0
+    # min of 3 timed repeats: the tunnel adds run-to-run jitter (~±8%
+    # observed on identical programs); the minimum is the standard
+    # noise-robust statistic for a deterministic workload
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        X, stats = full_solve()
+        np.asarray(X)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     return {
         "elapsed_s": elapsed,
         "gradnorm": float(stats.gnorm_opt),

@@ -173,6 +173,15 @@ class SPMDConfig:
     # reference parity (the reference restarts only periodically,
     # PGOAgent.cpp:880-885).
     adaptive_restart: bool = False
+    # Noise margin for the adaptive trigger: restart only when
+    # cost_new > cost_prev * (1 + rtol). Default 0 = the exact O'Donoghue &
+    # Candes comparison. Experimental knob: a 64*eps(f32) margin was tried
+    # to stop tail restarts firing on f32 cost noise, but the hair trigger
+    # is load-bearing — with the margin the Jacobi-parallel schedule
+    # oscillates instead of converging (grid3d-10k: cost bouncing
+    # 1957.15<->1957.21 for 3000 rounds, certified=NO, vs 261 rounds
+    # certified with the raw trigger). Leave at 0.
+    restart_cost_rtol: float = 0.0
     # Team size N in the Nesterov gamma/alpha recursions. The reference always
     # uses the robot count (PGOAgent.cpp:910-920) — the right schedule when
     # one block updates per round. None = num_agents.
@@ -852,7 +861,9 @@ def _round_body(problem_blk: SPMDProblem, cfg: SPMDConfig, axis_name,
             # whenever the objective at the new X increased over the last one
             nbr_new = resolve_nbr(_gather_pub(X_upd, pr.pub_idx, axis_name))
             cost_new = team_cost(X_upd, nbr_new)
-            do_restart_next = cost_new > state_blk.cost_X
+            do_restart_next = cost_new > state_blk.cost_X * (
+                1 + cfg.restart_cost_rtol
+            )
             cost_X_next = cost_new
         else:
             do_restart_next = jnp.asarray(False)

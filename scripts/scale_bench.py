@@ -199,7 +199,14 @@ def main():
         # device; a plateau guard hands off to the delta engine early when
         # the f32 engine's quantization floor sits above `coarse`.
         p1_chunk = int(os.environ.get("DPGO_SCALE_P1_CHUNK", str(4 * chunk)))
-        skip_p1 = os.environ.get("DPGO_SCALE_SKIP_P1") == "1"
+        # Delta-only is the certified default (DPGO_SCALE_SKIP_P1=0 opts the
+        # f32 bulk phase back in): the plain engine's f32 device gradnorm is
+        # quantization-floored at 10k+ scale (grid3d-10k: stuck ~300, city2d-
+        # 100k: ~600, while the delta engine evaluates the same states at
+        # 0.8), so phase 1 burns its 500-round plateau budget with a blind
+        # stop metric — and the r3 100k headline measured delta-only faster
+        # end-to-end anyway (1233 s vs 1601 s two-phase, docs/PERF.md).
+        skip_p1 = os.environ.get("DPGO_SCALE_SKIP_P1", "1") == "1"
         s1, total1 = state, 0
         m1 = None
         s1_host = None
