@@ -452,7 +452,12 @@ def _delta_rtr_step(
     _acc, _att, D_out, _rad = jax.lax.while_loop(cond, body, init)
     # no optimization needed if already below the local tolerance
     D_out = jnp.where(gnorm0 < cfg.rtr_gradnorm_tol, D0, D_out)
-    return D_out, gnorm0, cost0
+    # eg0 (the ambient Euclidean half-gradient at the evaluation point,
+    # already in hand) is returned for the restart schemes that need a
+    # cancellation-free signal (see _delta_round): 'gradient' takes its
+    # inner product with the step; 'exact' combines it with one Q matvec on
+    # the small W = (x-Y)+(x'-Y) to reproduce f(x')-f(x) exactly.
+    return D_out, gnorm0, cost0, eg0
 
 
 # ---------------------------------------------------------------------------
@@ -754,13 +759,74 @@ def _delta_round(problem_blk, cfg, axis_name,
         # not an extrapolation of it
         DY = jnp.where(act, DY, state.D)
         nbrD = gather_nbr(DY)
-        D_opt, gnorm_a, cost_a = run_agents(DY, nbrD)
+        D_opt, gnorm_a, cost_a, egY = run_agents(DY, nbrD)
         D_opt = jnp.where(act, D_opt, state.D)
         DV = jnp.where(
             restart, D_opt, project_blk(state.DV + gamma * (D_opt - DY))
         )
         DV = jnp.where(act, DV, state.D)
         cost_now = psum(jnp.sum(cost_a * act_f))
+        if cfg.restart_scheme == "exact":
+            # O'Donoghue & Candes FUNCTION restart with the comparison
+            # computed exactly. The objective is quadratic in the joint
+            # iterate, so with the code's half-gradient eg(D) = QX + c
+            # (affine in D, linear part Q·D):
+            #   f(x') - f(x) = <eg(x) + eg(x'), x' - x>
+            #                = <2·eg(Y) + Q·W, Δ>,  W = (x-Y) + (x'-Y)
+            # where Q·W is ONE extra residual-form matvec evaluated with
+            # ZEROED reference residuals (the delta machinery's gradient is
+            # exactly Q·W when res_ref = 0). Every factor is small — the
+            # signal resolves eps·|g|·|Δ|, far below the f32 cost
+            # resolution eps·|f| that makes the plain comparison fire on
+            # rounding noise once true per-round decreases drop under
+            # ~eps·cost (city2d-100k tail: decrease ~2e-5/round vs cost
+            # resolution ~4e-4 -> noise restarts kill the momentum).
+            step = D_opt - state.D
+            W = (state.D - DY) + (D_opt - DY)
+            nbrW = gather_nbr(W)
+            zp = jnp.zeros_like(ref_blk.res_rest)
+            zs = jnp.zeros_like(ref_blk.res_shared)
+            if use_lanes:
+                zl = jnp.zeros_like(ref_blk.res_lane)
+
+                def qmv_one(zp_a, zs_a, pi, pj, pT, op, si, sT, os_, so,
+                            Tl, oml, zl_a, Wa, nw):
+                    return _delta_cost_grad(
+                        (zp_a, zs_a), (pi, pj, pT, op), (si, sT, os_, so),
+                        Wa, nw, lanes=((Tl, oml, zl_a), offs),
+                    )[1]
+
+                QW = jax.vmap(qmv_one)(
+                    zp, zs, *a_priv, *a_shared,
+                    T_lane_blk, om_lane_blk, zl, W, nbrW,
+                )
+            else:
+
+                def qmv_one(zp_a, zs_a, pi, pj, pT, op, si, sT, os_, so,
+                            Wa, nw):
+                    return _delta_cost_grad(
+                        (zp_a, zs_a), (pi, pj, pT, op), (si, sT, os_, so),
+                        Wa, nw,
+                    )[1]
+
+                QW = jax.vmap(qmv_one)(zp, zs, *a_priv, *a_shared, W, nbrW)
+            df = psum(jnp.sum((2.0 * egY + QW) * step))
+            do_restart_next = df > 0
+        elif cfg.restart_scheme == "gradient":
+            # O'Donoghue & Candes GRADIENT restart: fire when the step
+            # opposes the gradient at the extrapolated point,
+            # <grad f(Y), X_new - X_prev> > 0. Cancellation-free like
+            # 'exact' but cheaper (no matvec); measured to under-restart on
+            # small worlds (tinyGrid3D 212 vs 49 rounds) — kept as an
+            # experimental knob, 'exact' is the production tail scheme.
+            dec = psum(jnp.sum(egY * (D_opt - state.D) * act))
+            do_restart_next = dec > 0
+        else:
+            # raw O'Donoghue-Candes function comparison; see
+            # SPMDConfig.restart_cost_rtol for why the hair trigger stays
+            do_restart_next = cost_now > state.prev_cost * (
+                1 + cfg.restart_cost_rtol
+            )
         new_state = DeltaState(
             D=D_opt,
             DY=jnp.where(act, jnp.where(restart, D_opt, DY), state.D),
@@ -769,15 +835,11 @@ def _delta_round(problem_blk, cfg, axis_name,
             gamma=jnp.where(restart, 0.0, gamma).astype(state.gamma.dtype),
             it=state.it + 1,
             prev_cost=cost_now,
-            # raw O'Donoghue-Candes comparison; see
-            # SPMDConfig.restart_cost_rtol for why the hair trigger stays
-            do_restart=cost_now > state.prev_cost * (
-                1 + cfg.restart_cost_rtol
-            ),
+            do_restart=do_restart_next,
         )
     else:
         nbrD = gather_nbr(state.D)
-        D_opt, gnorm_a, cost_a = run_agents(state.D, nbrD)
+        D_opt, gnorm_a, cost_a, _egY = run_agents(state.D, nbrD)
         D_opt = jnp.where(act, D_opt, state.D)
         new_state = DeltaState(
             D=D_opt, DY=D_opt, DV=D_opt, ACC=state.ACC,

@@ -182,6 +182,20 @@ class SPMDConfig:
     # 1957.15<->1957.21 for 3000 rounds, certified=NO, vs 261 rounds
     # certified with the raw trigger). Leave at 0.
     restart_cost_rtol: float = 0.0
+    # Which O'Donoghue & Candes adaptive-restart signal to use (delta
+    # engine only; the plain engine always uses 'cost'):
+    # 'cost'     — restart when the round objective increased (function
+    #              scheme, compared in accumulated f32 — fires on rounding
+    #              noise once true per-round decreases drop below
+    #              eps*|f|, which kills tail momentum at 100k scale);
+    # 'exact'    — the SAME function-scheme comparison computed
+    #              cancellation-free in delta space via the quadratic
+    #              identity f(x')-f(x) = <2 eg(Y) + Q W, x'-x>,
+    #              W=(x-Y)+(x'-Y) (one extra residual-form matvec per
+    #              round; resolution eps*|g|*|step|);
+    # 'gradient' — <grad f(Y), x'-x> > 0 (no matvec; measured to
+    #              under-restart on small worlds, experimental).
+    restart_scheme: str = "cost"
     # Team size N in the Nesterov gamma/alpha recursions. The reference always
     # uses the robot count (PGOAgent.cpp:910-920) — the right schedule when
     # one block updates per round. None = num_agents.

@@ -145,6 +145,10 @@ def main():
             os.environ.get("DPGO_SCALE_RESTART_INT", "1000000")),
         nesterov_n=(lambda v: None if v == "" else int(v))(
             os.environ.get("DPGO_SCALE_NESTEROV_N", "5")),
+        # 'gradient' (delta engine only): cancellation-free restart signal;
+        # the cost comparison fires on f32 rounding noise once the true
+        # per-round decrease drops below eps*|f| (certified tails at 100k)
+        restart_scheme=os.environ.get("DPGO_SCALE_RESTART_SCHEME", "cost"),
     )
     # guard against env overrides reaching a divergent configuration:
     # Jacobi-parallel Nesterov with periodic restarts disabled (or a
@@ -252,6 +256,7 @@ def main():
         X_final, info = delta_mod.run_delta_certified(
             problem, X64, cfg, tol=0.9 * tol, mesh=None, chunk=chunk,
             max_rounds=rounds, verbose=True, crash_retries=6,
+            reanchor_every=int(os.environ.get("DPGO_SCALE_REANCHOR", "25")),
         )
         t2 = time.perf_counter() - t0b
         cost_h, gnorm_h = delta_mod.host_certify(problem, X_final)

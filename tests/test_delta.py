@@ -389,3 +389,44 @@ def test_delta_elastic_membership():
     # phase 3: reactivation — the full team converges
     state, ref, m3, _ = run(ref, state, 400, 1e-2, problem=problem)
     assert float(m3.gradnorm) < 1e-2
+
+
+@pytest.mark.parametrize("scheme", ["exact", "gradient"])
+def test_delta_restart_schemes_certify(scheme):
+    """The cancellation-free adaptive-restart signals ('exact': the
+    O'Donoghue-Candes function comparison reproduced exactly in delta space
+    via f(x')-f(x) = <2 eg(Y) + Q W, x'-x>; 'gradient': <grad f(Y), x'-x>)
+    drive the engine to the same certified optimum as the default 'cost'
+    comparison. The schemes exist because the accumulated-f32 cost
+    comparison fires on rounding noise once true per-round decreases drop
+    below eps*|f| (city2d-100k tail, docs/PERF.md)."""
+    meas, n = read_g2o_file("/root/reference/data/tinyGrid3D.g2o")
+    r, N = 5, 4
+    problem32, ranges = spmd.build_spmd_problem(
+        meas, n, num_agents=N, r=r, dtype=jnp.float32
+    )
+    T = chordal_initialization(meas)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(3, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    X0_stack = np.zeros((N, problem32.n_max, r, 4))
+    for a, (s, e) in enumerate(ranges):
+        X0_stack[a, : e - s] = X0[s:e]
+        X0_stack[a, e - s:] = np.asarray(
+            lifted.identity_lifted(problem32.n_max - (e - s), r, 3)
+        )
+    cfg = spmd.SPMDConfig(
+        mode="all", acceleration=True, rtr_iterations=1,
+        rtr_gradnorm_tol=1e-3 / (2 * np.sqrt(N)),
+        restart_scheme=scheme,
+    )
+    X_final, info = delta_mod.run_delta_certified(
+        problem32, X0_stack, cfg, tol=1e-3, chunk=20, max_rounds=600,
+    )
+    assert info["device_gradnorm"] < 1e-3
+    # honest f64 certification at the assembled iterate
+    qd_central = build_central_evaluation(meas, n, r)
+    Xg = np.zeros((n, r, 4))
+    for a, (s, e) in enumerate(ranges):
+        Xg[s:e] = X_final[a, : e - s]
+    g64 = float(quadratic.rie_grad_norm(qd_central, jnp.asarray(Xg)))
+    assert g64 < 2e-3
