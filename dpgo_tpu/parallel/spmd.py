@@ -292,7 +292,12 @@ def build_spmd_problem(
     ]
     all_i = np.array([m.p1 for pl in priv_lists for m in pl], np.int64)
     all_j = np.array([m.p2 for pl in priv_lists for m in pl], np.int64)
-    band_offsets = quadratic.choose_band_offsets(all_i, all_j, n_max)
+    # rows: the vmapped lane einsum spans every agent's n_max rows, and the
+    # offset histogram is pooled across agents — the lane cost model must
+    # compare pooled counts against the full stacked row count
+    band_offsets = quadratic.choose_band_offsets(
+        all_i, all_j, n_max, rows=num_agents * n_max
+    )
     lane_of = {delta: k for k, delta in enumerate(band_offsets)}
 
     def split_banded(pl):

@@ -797,21 +797,44 @@ def choose_band_offsets(
     n: int,
     max_lanes: int = 16,
     min_count: Optional[int] = None,
+    rows: Optional[int] = None,
 ) -> tuple:
-    """Host-side: pick the edge offsets worth a dense band lane. An offset
-    delta qualifies when enough edges share it (each lane costs two dense
-    shifted matmuls over n rows per matvec; an edge on a lane saves two
-    gather rows + two scatter rows). Returns a sorted tuple of offsets."""
+    """Host-side: pick the edge offsets worth a dense band lane, by COST
+    MODEL. A lane's matvec contribution is a dense shifted einsum over every
+    one of `rows` rows (`rows` = n centrally, num_agents*n_max in the vmapped
+    SPMD stack) whether or not a row carries an edge; an edge left on the
+    gather/scatter path costs ~2x a lane ROW (measured on-chip at 100k,
+    docs/PERF.md op microbenchmarks: ~15 ns/row/matvec for a lane vs ~30
+    ns/edge for gather+einsum+scatter). So a lane pays for itself only at
+    count >= rows/2 — the r3 floor of n//32 admitted 16 lanes at 0.68 total
+    coverage on city2d-100k, a ~3x matvec-traffic waste. Exception: when the
+    qualifying offsets cover EVERY edge within the lane budget at moderate
+    total cost, keep them all — full coverage deletes the gather/scatter
+    machinery from the program entirely (the sphere2500 {1,50} / torus3D
+    {1,100,4900} / raster-grid {1,s,s^2} wins). Returns sorted offsets."""
     if n < 2 or len(i_np) == 0:
         return ()
-    if min_count is None:
-        min_count = max(16, n // 32)
+    if rows is None:
+        rows = n
     delta = j_np - i_np
     # Negative offsets (backward edges j < i) qualify too: they get their own
     # lane rather than being flipped — the lifted translation cost is not
     # invariant under edge reversal (see q_matvec).
     valid = (delta != 0) & (np.abs(delta) < n)
     vals, cnts = np.unique(delta[valid], return_counts=True)
+    if min_count is None:
+        # full-coverage exception: lane rows <= gather-path cost in row
+        # equivalents (c_edge ~ 2*c_row) + the fixed gather/scatter op
+        # overhead full coverage deletes (~20 us ~ 1300 row-equivalents)
+        m_total = int(valid.sum())
+        if (
+            len(vals) > 0
+            and len(vals) <= max_lanes
+            and rows * len(vals) <= 2 * m_total + 1300
+        ):
+            min_count = 1
+        else:
+            min_count = max(16, rows // 3)
     keep = vals[cnts >= min_count]
     kcnt = cnts[cnts >= min_count]
     if len(keep) > max_lanes:

@@ -195,7 +195,11 @@ def test_band_split_matches_plain():
     edges = EdgeArrays.from_measurements(meas)
     p_plain = quadratic.from_private_measurements(edges, n=n, d=d, band=False)
     p_band = quadratic.from_private_measurements(edges, n=n, d=d, band=True)
-    assert p_band.num_band == n - 1
+    # cost-model lane selection: at tiny n the full-coverage exception lanes
+    # every edge (deleting the gather path entirely); at minimum the
+    # odometry chain is banded
+    assert p_band.num_band >= n - 1
+    assert 1 in p_band.band_offsets
     qd_a = quadratic.build_quadratic_data(p_plain, jnp.zeros((1, r, d + 1)), r=r)
     qd_b = quadratic.build_quadratic_data(p_band, jnp.zeros((1, r, d + 1)), r=r)
     V = rng.standard_normal((n, r, d + 1))
