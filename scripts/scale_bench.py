@@ -145,10 +145,15 @@ def main():
             os.environ.get("DPGO_SCALE_RESTART_INT", "1000000")),
         nesterov_n=(lambda v: None if v == "" else int(v))(
             os.environ.get("DPGO_SCALE_NESTEROV_N", "5")),
-        # 'gradient' (delta engine only): cancellation-free restart signal;
-        # the cost comparison fires on f32 rounding noise once the true
-        # per-round decrease drops below eps*|f| (certified tails at 100k)
-        restart_scheme=os.environ.get("DPGO_SCALE_RESTART_SCHEME", "cost"),
+        # Cancellation-free restart signal (delta engine only; plain engine
+        # always compares costs): the f32 cost comparison fires on rounding
+        # noise once the true per-round decrease drops below eps*|f|, and
+        # the noise restarts kill the Nesterov momentum exactly in the
+        # certified tail. 'exact' reproduces the same function comparison
+        # in delta space (one extra residual-form matvec per round) and is
+        # the certified default: city2d-100k 881 rounds vs 1598 with
+        # 'cost', city2d-10k 120 vs 149 (docs/PERF.md).
+        restart_scheme=os.environ.get("DPGO_SCALE_RESTART_SCHEME", "exact"),
     )
     # guard against env overrides reaching a divergent configuration:
     # Jacobi-parallel Nesterov with periodic restarts disabled (or a
