@@ -361,3 +361,34 @@ def test_residual_form_f32_accuracy_near_optimum():
     # absolute accuracy is at the quantization level, far below the gradient
     # scale of this problem
     assert err_res < 1e-4
+
+
+def test_choose_band_offsets_cost_model():
+    """Lane selection is cost-model driven (round 4): a lane pays a dense
+    einsum over EVERY row per matvec, so partial-coverage offsets qualify
+    only at count >= rows/3; a full-coverage offset set within the lane
+    budget is kept wholesale (it deletes the gather/scatter machinery)."""
+    n = 9000
+    # odometry chain + a 300-edge loop-closure offset (3.3% coverage) + a
+    # 4000-edge offset (44% coverage) + 17 scattered stray offsets (so the
+    # full-coverage exception cannot fire): only the big one joins odometry
+    i1 = np.arange(n - 1)
+    i2 = np.arange(300) + 77
+    i3 = np.arange(4000) + 11
+    i4 = np.arange(17) * 3 + 1000  # 17 edges at 17 distinct offsets
+    i_np = np.concatenate([i1, i2, i3, i4])
+    j_np = np.concatenate(
+        [i1 + 1, i2 - 77, i3 + 11, i4 + 200 + np.arange(17)]
+    )
+    offs = quadratic.choose_band_offsets(i_np, j_np, n=n)
+    assert set(offs) == {1, 11}, offs
+    # the same counts against a 10x-stacked SPMD row count drop the 4000-
+    # edge lane too (4000 < 10*n/3): pooled counts must beat POOLED rows
+    offs_stacked = quadratic.choose_band_offsets(i_np, j_np, n=n, rows=10 * n)
+    assert set(offs_stacked) == {1}, offs_stacked
+    # full coverage within the budget -> keep every offset, however small
+    # (here: odometry + one 40-edge offset and nothing else)
+    i_fc = np.concatenate([i1, np.arange(40)])
+    j_fc = np.concatenate([i1 + 1, np.arange(40) + 500])
+    offs_fc = quadratic.choose_band_offsets(i_fc, j_fc, n=n)
+    assert set(offs_fc) == {1, 500}, offs_fc
