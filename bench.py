@@ -235,11 +235,27 @@ def main():
                     break
                 except Exception as e:
                     print(f"{name} attempt {attempt} failed: {e}", file=sys.stderr)
+                    # explicit error entry: a config that exhausts retries
+                    # must be distinguishable from 'not run' in the artifact
+                    all_out[name] = {"error": f"{type(e).__name__}: {e}"}
                     time.sleep(75)
         for arg in sys.argv:
             if arg.startswith("--json-out="):
                 with open(arg.split("=", 1)[1], "w") as f:
                     json.dump(all_out, f, indent=1)
+    else:
+        for arg in sys.argv:
+            if arg.startswith("--json-out="):
+                # honor --json-out without --all rather than silently
+                # dropping it: write the partial (headline-only) dict
+                print("warning: --json-out without --all writes only the "
+                      "headline configs", file=sys.stderr)
+                with open(arg.split("=", 1)[1], "w") as f:
+                    json.dump({
+                        "platform": jax.devices()[0].platform,
+                        "sphere2500-central": central,
+                        "sphere2500-rbcd8": dist,
+                    }, f, indent=1)
 
 
 def run_city10000():

@@ -1100,6 +1100,15 @@ def run_delta_certified(
         # a ~1e-7-perturbed point is still a valid restart point.
         return X_base + np.asarray(jnp.add(s.ACC, s.D), np.float64)
 
+    def point_final(s):
+        # the FINAL returned iterate is what the caller certifies; here the
+        # ~eps32*|ACC| rounding of the fused f32 add could flip a marginal
+        # host-f64 certification, so pay the two separate pulls once and sum
+        # in f64 on the host (ADVICE r4: checkpoints keep the cheap path,
+        # the return does the exact assembly)
+        return (X_base + np.asarray(s.ACC, np.float64)
+                + np.asarray(s.D, np.float64))
+
     while total < max_rounds and gn >= tol:
         try:
             state, ref, metrics, rounds = run(
@@ -1136,6 +1145,13 @@ def run_delta_certified(
                     break
                 except Exception:
                     continue
+            else:
+                # all probes failed: the worker never came back. Proceeding
+                # would burn another crash_retries increment per iteration
+                # against a dead tunnel — make that state visible.
+                print("  delta crash recovery: worker did not answer any of "
+                      "20 probes over 300 s; tunnel appears permanently "
+                      "down, retrying anyway", flush=True)
             X_base = ck_point if ck_point is not None else np.array(
                 X0_64, np.float64
             )
@@ -1152,7 +1168,7 @@ def run_delta_certified(
                   f"cost={cost:.2f}", flush=True)
     info = {"rounds": total, "trace": trace, "device_gradnorm": gn,
             "crash_replays": failures}
-    return point_now(state), info
+    return point_final(state), info
 
 
 # ---------------------------------------------------------------------------

@@ -941,6 +941,10 @@ def _select_next(gnorm_all: jax.Array, cfg: SPMDConfig, it, key):
 def _validate_cfg(cfg: SPMDConfig) -> None:
     if cfg.mode not in ("all", "greedy", "uniform", "async"):
         raise ValueError(f"unknown SPMD mode {cfg.mode!r}")
+    if cfg.restart_scheme not in ("cost", "exact", "gradient"):
+        # a typo (e.g. env DPGO_SCALE_RESTART_SCHEME=exct) must not silently
+        # fall through to the noisy 'cost' branch in delta._delta_round
+        raise ValueError(f"unknown restart_scheme {cfg.restart_scheme!r}")
     if cfg.mode == "async" and cfg.acceleration:
         # the reference forbids acceleration in asynchronous mode
         # (PGOAgent.cpp:477) — the Nesterov recursions assume synchronized

@@ -805,9 +805,14 @@ def choose_band_offsets(
     SPMD stack) whether or not a row carries an edge; an edge left on the
     gather/scatter path costs ~2x a lane ROW (measured on-chip at 100k,
     docs/PERF.md op microbenchmarks: ~15 ns/row/matvec for a lane vs ~30
-    ns/edge for gather+einsum+scatter). So a lane pays for itself only at
-    count >= rows/2 — the r3 floor of n//32 admitted 16 lanes at 0.68 total
-    coverage on city2d-100k, a ~3x matvec-traffic waste. Exception: when the
+    ns/edge for gather+einsum+scatter). Strict breakeven is therefore
+    count ~ rows/2; the implemented threshold is deliberately rows//3 —
+    slightly below breakeven — because a lane also removes its edges from the
+    gather/scatter index arrays (smaller residual gather launches, better
+    padding) and the measured c_edge/c_row ratio varies ~1.5-2.5x with block
+    size, so rows//3 keeps marginally-paying lanes that rows//2 would drop.
+    The r3 floor of n//32 admitted 16 lanes at 0.68 total coverage on
+    city2d-100k, a ~3x matvec-traffic waste. Exception: when the
     qualifying offsets cover EVERY edge within the lane budget at moderate
     total cost, keep them all — full coverage deletes the gather/scatter
     machinery from the program entirely (the sphere2500 {1,50} / torus3D

