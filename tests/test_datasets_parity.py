@@ -75,8 +75,12 @@ CASES = [
     ("input_MITb_g2o.g2o", None, 0.1),
     # ais2klinik is the suite's conditioning stress case: the initial
     # Riemannian gradient norm is ~5000 and even the reference's exact-LDL^T
-    # preconditioned RTR needs very many iterations. Certify a 99%+ gradnorm
-    # reduction within the iteration budget instead of an absolute tolerance.
+    # preconditioned RTR needs very many iterations. The in-test budget (200
+    # iterations) certifies a 99%+ gradnorm reduction + the cost anchor; the
+    # ABSOLUTE tolerance (1e-2, DPGO_types.h:56) is certified against the
+    # committed offline-converged iterate (data/ais2klinik_certified.npz,
+    # produced by scripts/ais_certify.py: gradnorm 6.32e-3, cost 188.50183)
+    # in test_ais2klinik_certified_absolute below.
     ("ais2klinik.g2o", None, "relative"),
     ("city10000.g2o", None, 0.1),
     ("kitti_00.g2o", None, 0.1),
@@ -134,6 +138,31 @@ def test_centralized_solve_dataset(name, known_cost, tol):
             2 * float(stats.f_opt), RECORDED_COSTS[name]["cost"], rtol=1e-6,
             err_msg=f"{name}: converged cost drifted from committed anchor",
         )
+
+
+def test_ais2klinik_certified_absolute():
+    """ais2klinik at the reference's ABSOLUTE local tolerance (gradnorm
+    < 1e-2, DPGO_types.h:56) — the one dataset whose conditioning puts that
+    tolerance outside any in-test iteration budget (the fixed-0.1-shift
+    LDL^T preconditioner the reference uses crawls on this spectrum too;
+    docs/PERF.md). The offline certification (scripts/ais_certify.py:
+    exact-banded preconditioner at shift=1e-5, crash-checkpointed blocks)
+    converged to gradnorm 6.32e-3 / cost 188.501834; its final iterate is
+    committed and re-evaluated here with the CURRENT pipeline, so any
+    numerical change in the parser/assembly/gradient path re-verifies the
+    absolute claim in milliseconds instead of hours."""
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "data",
+                        "ais2klinik_certified.npz")
+    X = jnp.asarray(np.load(path)["X"])
+    meas, n = read_g2o_file(f"{DATA}/ais2klinik.g2o")
+    edges = EdgeArrays.from_measurements(meas)
+    problem = quadratic.from_private_measurements(edges, n=n, d=2)
+    rd = quadratic.build_residual_data(problem, jnp.zeros((1, X.shape[1], 3)))
+    f, eg = quadratic.cost_grad_residual(rd, X)
+    g = lifted.proj_tangent(X, eg)
+    assert lifted.check_stiefel(np.asarray(X)[:, :, :2])
+    assert float(lifted.norm(g)) < 1e-2
+    np.testing.assert_allclose(2 * float(f), 188.5018340232, rtol=1e-6)
 
 
 def test_mixed_precision_cost_parity_sphere2500():
