@@ -197,7 +197,16 @@ def delta_polar(Y_ref: jax.Array, M_ref: jax.Array, W: jax.Array,
     # unrolling the worst case — in the RBCD tail W is a tiny perturbation of
     # the manifold point, so 3-5 iterations replace 16 (the projections are
     # the largest on-device cost of a delta round at 100k; profiled r3).
+    # The body UNROLLS 3 NS steps per convergence check: each while_loop
+    # iteration on TPU pays a sync + small-kernel launch tax that dwarfs the
+    # ~1 MFLOP of arithmetic at 3x2 blocks, and the max-reduction cond is a
+    # full-array pass — checking every 3 steps fuses three bodies into one
+    # kernel chain and cuts the reductions 3x (profiled r5: the three
+    # projections were ~35% of a city2d-100k round). Overshoot past
+    # convergence is harmless: at the fixed point an NS step is the identity
+    # plus eps·|E| rounding, the same floor the tolerance already encodes.
     tol_sq = jnp.asarray(3e-7**2, W.dtype)
+    UNROLL = 3
 
     def cond(c_):
         _E, K_, it = c_
@@ -207,9 +216,13 @@ def delta_polar(Y_ref: jax.Array, M_ref: jax.Array, W: jax.Array,
 
     def body(c_):
         E_, K_, it = c_
-        A = Y_ref + E_
-        E2 = E_ - 0.5 * jnp.einsum("...ra,...ab->...rb", A, K_, precision=_HI)
-        return (E2, _delta_K(Y_ref, M_ref, E2), it + 1)
+        for _ in range(UNROLL):
+            A = Y_ref + E_
+            E_ = E_ - 0.5 * jnp.einsum(
+                "...ra,...ab->...rb", A, K_, precision=_HI
+            )
+            K_ = _delta_K(Y_ref, M_ref, E_)
+        return (E_, K_, it + UNROLL)
 
     E, _K, _ = jax.lax.while_loop(
         cond, body, (E, K, jnp.asarray(0, jnp.int32))
@@ -217,10 +230,81 @@ def delta_polar(Y_ref: jax.Array, M_ref: jax.Array, W: jax.Array,
     return E
 
 
+def delta_polar2(Y_ref: jax.Array, M_ref: jax.Array,
+                 W: jax.Array) -> jax.Array:
+    """polar(Y_ref + W) − Y_ref for d = 2, in CLOSED FORM — no iteration.
+
+    With A = Y_ref + W and S = AᵀA = I + K (K from _delta_K,
+    cancellation-free), the 2×2 principal square root is
+    S^½ = (S + s·I)/q with s = √det S, q = √(tr S + 2s), so S^½ = I + B
+    where B = (det K / (q(q+1+s)))·I + K/q — the identity
+    q − (1+s) = −det K / (q+1+s) keeps B O(K) with no 1−1 subtraction.
+    Then N := S^{−½} − I = −B·((1+tr B)·I − B) / (1 + tr B + det B)
+    (2×2 adjugate inverse), and the delta update
+    E′ = Y_ref·N + E + E·N is O(|W| + |K|) throughout: the rounding floor
+    matches converged Newton–Schulz, but the whole projection is ~30
+    elementwise ops that XLA fuses into one kernel chain — measured r5,
+    the NS while_loop's per-iteration launch+reduction tax made the three
+    projections ~35% of a city2d-100k round. Works for ANY S ≻ 0 (no
+    convergence basin, no pre-scale clamp). All 2×2 algebra is
+    component-unrolled: batched 2×2 einsums lower to dot_general layout
+    shuffles that dwarf the arithmetic at this size."""
+    E = W
+    # K entries, component-unrolled (K is symmetric: k01 == k10)
+    y0, y1 = Y_ref[..., 0], Y_ref[..., 1]  # (..., r) columns
+    e0, e1 = E[..., 0], E[..., 1]
+    k00 = M_ref[..., 0, 0] + jnp.sum(2.0 * y0 * e0 + e0 * e0, axis=-1)
+    k11 = M_ref[..., 1, 1] + jnp.sum(2.0 * y1 * e1 + e1 * e1, axis=-1)
+    k01 = M_ref[..., 0, 1] + jnp.sum(
+        y0 * e1 + y1 * e0 + e0 * e1, axis=-1
+    )
+    trK = k00 + k11
+    detK = k00 * k11 - k01 * k01
+    u = trK + detK  # det S − 1
+    s = jnp.sqrt(jnp.maximum(1.0 + u, 0.0))  # √det S (S ⪰ 0 by construction)
+    q = jnp.sqrt(jnp.maximum(2.0 + trK + 2.0 * s, 0.0))  # √(tr S + 2s)
+    # B = S^½ − I
+    bdiag = detK / (q * (q + 1.0 + s))
+    b00 = bdiag + k00 / q
+    b11 = bdiag + k11 / q
+    b01 = k01 / q
+    # N = (I+B)^{−1} − I = −B·((1+trB)·I − B)/det(I+B)
+    trB = b00 + b11
+    detIB = 1.0 + trB + (b00 * b11 - b01 * b01)
+    inv = 1.0 / detIB
+    c = 1.0 + trB
+    n00 = -(b00 * (c - b00) - b01 * b01) * inv
+    n11 = -(b11 * (c - b11) - b01 * b01) * inv
+    n01 = -(b01 * (c - b11) - b00 * b01) * inv
+    # E′ = Y·N + E + E·N, columns unrolled
+    a0 = y0 + e0
+    a1 = y1 + e1
+    out0 = e0 + a0 * n00[..., None] + a1 * n01[..., None]
+    out1 = e1 + a0 * n01[..., None] + a1 * n11[..., None]
+    # One Newton–Schulz polish step: the closed form's division/sqrt chain
+    # loses ~3 digits in f32 when |W| is large (post-restart extrapolations);
+    # a single NS step squares the defect (4e-4 → ~1e-7, the NS tolerance
+    # floor) and stays inside the same fused elementwise chain.
+    e0, e1 = out0, out1
+    k00 = M_ref[..., 0, 0] + jnp.sum(2.0 * y0 * e0 + e0 * e0, axis=-1)
+    k11 = M_ref[..., 1, 1] + jnp.sum(2.0 * y1 * e1 + e1 * e1, axis=-1)
+    k01 = M_ref[..., 0, 1] + jnp.sum(y0 * e1 + y1 * e0 + e0 * e1, axis=-1)
+    a0 = y0 + e0
+    a1 = y1 + e1
+    out0 = e0 - 0.5 * (a0 * k00[..., None] + a1 * k01[..., None])
+    out1 = e1 - 0.5 * (a0 * k01[..., None] + a1 * k11[..., None])
+    return jnp.stack([out0, out1], axis=-1)
+
+
 def delta_project_lifted(X_ref, M_ref, W):
     """Lifted-pose delta projection: polar on the rotation block, identity on
-    the translation column (mirrors lifted.project_lifted)."""
-    W_rot = delta_polar(X_ref[..., :-1], M_ref, W[..., :-1])
+    the translation column (mirrors lifted.project_lifted). d = 2 uses the
+    closed-form 2×2 polar (delta_polar2); d = 3 the Newton–Schulz iteration
+    (delta_polar)."""
+    if W.shape[-1] - 1 == 2:
+        W_rot = delta_polar2(X_ref[..., :-1], M_ref, W[..., :-1])
+    else:
+        W_rot = delta_polar(X_ref[..., :-1], M_ref, W[..., :-1])
     return jnp.concatenate([W_rot, W[..., -1:]], axis=-1)
 
 
