@@ -226,6 +226,7 @@ def main():
         for name, fn in [("city10000-rbcd5", run_city10000),
                          ("city10000-central", run_city10000_central),
                          ("intel-gnc", run_intel_gnc),
+                         ("intel-gnc-outliers", run_intel_gnc_outliers),
                          ("sphere2500-async-vs-sync", run_sphere2500_async)]:
             for attempt in range(2):
                 try:
@@ -459,6 +460,90 @@ def run_intel_gnc():
         "rejected_lcs": rejected,
         "free_lcs": total,
         "final_cost": round(hist[-1]["cost"], 3),
+    }
+
+
+def run_intel_gnc_outliers(frac=0.15, seed=1):
+    """GNC rejection at dataset scale (VERDICT r4 #6): plant uniformly
+    random outlier loop closures into input_INTEL (15% of the genuine LC
+    count, full-confidence information), run the distributed GNC-TLS path,
+    and score rejection precision/recall against the planted ground truth
+    plus the final cost evaluated on the CLEAN edge set only (host f64)
+    against the clean-solve anchor. The reference's own GNC example runs a
+    clean input (SingleRobotGNCExample.cpp); this config demonstrates the
+    capability the pipeline exists for (DPGO_solver.cpp:335-412)."""
+    import json as _json
+
+    from dpgo_tpu.datasets import plant_outliers
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.ops import lifted
+    from dpgo_tpu.parallel import delta as delta_mod
+    from dpgo_tpu.parallel import spmd
+    from dpgo_tpu.solvers.pgo import chordal_initialization
+
+    meas, n = read_g2o_file("/root/reference/data/input_INTEL_g2o.g2o")
+    meas_c, planted = plant_outliers(meas, n, frac=frac, seed=seed)
+    # r=5 matches the centralized parity anchor (tests/dataset_costs.json),
+    # so cost_on_clean_edges is directly comparable to the clean optimum
+    d, r, agents = 2, 5, 2
+    T = chordal_initialization(meas_c)
+    problem, ranges = spmd.build_spmd_problem(meas_c, n, num_agents=agents, r=r)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    cfg = spmd.SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    t0 = time.perf_counter()
+    problem_out, state_out, hist = spmd.run_rbcd_gnc(
+        problem, state, cfg, barc=5.0, num_weight_updates=10, inner_rounds=20
+    )
+    elapsed = time.perf_counter() - t0
+    # score: every non-fixed real edge, planted vs rejected (w < 1e-6).
+    # shared edges carry two copies with identical weights — dedup by pair.
+    by_pair = {}
+    for e in spmd.edge_weight_table(problem_out, ranges):
+        if not e["fixed"]:
+            by_pair[e["pair"]] = e["weight"]
+    rejected = {p for p, w in by_pair.items() if w < 1e-6}
+    tp = len(rejected & planted)
+    fp = len(rejected - planted)
+    fn = len(planted - rejected)
+    # converge the inlier solve: accelerated certified polish on the
+    # reweighted problem (the GNC phases themselves run unaccelerated, as
+    # the reference forbids acceleration under robust costs,
+    # PGOAgent.cpp:477), then evaluate on the CLEAN edge set only (f64)
+    cfg_cert = spmd.SPMDConfig(
+        mode="all", acceleration=True, adaptive_restart=True,
+        rtr_iterations=1, rtr_gradnorm_tol=1e-2 / (2 * np.sqrt(agents)),
+    )
+    t0b = time.perf_counter()
+    X_final, _info = delta_mod.run_delta_certified(
+        problem_out, np.asarray(state_out.X, np.float64), cfg_cert,
+        tol=1e-2, chunk=25, max_rounds=1000,
+    )
+    polish_s = time.perf_counter() - t0b
+    problem_clean, _ = spmd.build_spmd_problem(meas, n, num_agents=agents, r=r)
+    cost_clean, gnorm_clean = delta_mod.host_certify(problem_clean, X_final)
+    anchor = None
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "dataset_costs.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            table = _json.load(f)
+        entry = table.get("input_INTEL_g2o.g2o")
+        if isinstance(entry, dict):
+            anchor = entry.get("cost")
+    return {
+        "gnc_s": round(elapsed, 2),
+        "polish_s": round(polish_s, 2),
+        "planted": len(planted),
+        "rejected": len(rejected),
+        "true_pos": tp, "false_pos": fp, "false_neg": fn,
+        "precision": round(tp / max(tp + fp, 1), 4),
+        "recall": round(tp / max(tp + fn, 1), 4),
+        "cost_on_clean_edges_f64": round(float(cost_clean), 3),
+        "gradnorm_on_clean_edges_f64": round(float(gnorm_clean), 4),
+        "clean_anchor_cost": anchor,
+        "final_gnc_cost": round(hist[-1]["cost"], 3),
     }
 
 

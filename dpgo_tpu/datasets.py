@@ -225,6 +225,65 @@ def synthesize_city2d(
     return edges, n, T_true
 
 
+def plant_outliers(measurements, num_poses: int, frac: float = 0.15,
+                   seed: int = 0):
+    """Corrupt a dataset with uniformly random OUTLIER loop closures — the
+    robust-PGO evaluation protocol (reference semantics: the GNC pipeline of
+    DPGO_solver.cpp:335-412 exists to reject exactly such edges; the
+    reference repo never ships a corrupted dataset, so the planting is ours).
+
+    Adds round(frac * n_lc) fake loop closures (n_lc = genuine non-odometry
+    edge count) between uniformly random pose pairs with uniformly random
+    relative rotation and a translation drawn at the scale of the genuine
+    loop closures; kappa/tau are the genuine loop closures' medians, so the
+    outliers claim full confidence. Planted pairs are unique and disjoint
+    from genuine edges.
+
+    Returns (corrupted_list, planted) where planted is a set of ORDERED
+    global (p1, p2) pairs identifying the fakes.
+    """
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(seed)
+    lcs = [m for m in measurements if m.p2 - m.p1 != 1 or m.r1 != m.r2]
+    if not lcs:
+        lcs = list(measurements)
+    d = measurements[0].d
+    n_out = int(round(frac * len(lcs)))
+    kappa = float(np.median([m.kappa for m in lcs]))
+    tau = float(np.median([m.tau for m in lcs]))
+    t_scale = float(np.median([np.linalg.norm(m.t) for m in lcs])) + 1.0
+    existing = {(m.p1, m.p2) for m in measurements}
+    existing |= {(m.p2, m.p1) for m in measurements}
+    planted = set()
+    out = [m.copy() for m in measurements]
+    while len(planted) < n_out:
+        i = int(rng.integers(0, num_poses - 2))
+        j = int(rng.integers(i + 2, num_poses))
+        if (i, j) in existing or (i, j) in planted:
+            continue
+        if d == 2:
+            th = rng.uniform(-np.pi, np.pi)
+            R = np.array([[np.cos(th), -np.sin(th)],
+                          [np.sin(th), np.cos(th)]])
+        else:
+            A = rng.standard_normal((3, 3))
+            U, _, Vt = np.linalg.svd(A)
+            R = U @ Vt
+            if np.linalg.det(R) < 0:
+                U[:, -1] *= -1.0
+                R = U @ Vt
+        t = rng.uniform(-2.0 * t_scale, 2.0 * t_scale, size=d)
+        from dpgo_tpu.measurements import RelativeSEMeasurement
+
+        out.append(RelativeSEMeasurement(
+            r1=0, r2=0, p1=i, p2=j, R=R, t=t, kappa=kappa, tau=tau,
+            weight=1.0, fixed_weight=False,
+        ))
+        planted.add((i, j))
+    return out, planted
+
+
 def write_g2o(edges: EdgeArrays, path: str) -> None:
     """Write SE(3) edges as EDGE_SE3:QUAT records with isotropic information
     (kappa on the rotation block, tau on translation, matching the parser's

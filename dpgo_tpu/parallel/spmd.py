@@ -1157,6 +1157,55 @@ def run_rbcd_gnc(
     return problem, state, history
 
 
+def edge_weight_table(problem: SPMDProblem, ranges):
+    """Host-side diagnostic: recover every real edge's GLOBAL (p1, p2) pair
+    with its current GNC weight and fixed flag. Used to score outlier
+    rejection precision/recall against a planted-outlier ground truth
+    (bench.py intel-gnc-outliers; the reference never scores its GNC path —
+    its examples run clean inputs only, SingleRobotGNCExample.cpp).
+
+    Private edges appear once; shared edges once per endpoint copy (the GNC
+    update drives both copies identically — gnc_reweight reweights from the
+    same team-wide residuals). Ordered pairs: (tail, head) as measured.
+    Returns a list of dicts {pair, weight, fixed, shared}.
+    """
+    starts = np.asarray([s for s, _ in ranges], np.int64)
+    out = []
+    pk = np.asarray(problem.priv_kappa)
+    pi = np.asarray(problem.priv_i)
+    pj = np.asarray(problem.priv_j)
+    pw = np.asarray(problem.priv_weight)
+    pfx = np.asarray(problem.priv_fixed_weight)
+    sk = np.asarray(problem.shared_kappa)
+    sidx = np.asarray(problem.shared_idx)
+    sw = np.asarray(problem.shared_weight)
+    sfx = np.asarray(problem.shared_fixed_weight)
+    sout = np.asarray(problem.shared_outgoing)
+    snr = np.asarray(problem.shared_nbr_robot)
+    sns = np.asarray(problem.shared_nbr_slot)
+    pub = np.asarray(problem.pub_idx)
+    A = pk.shape[0]
+    for a in range(A):
+        real = pk[a] > 0
+        for k in np.nonzero(real)[0]:
+            out.append({
+                "pair": (int(starts[a] + pi[a, k]),
+                         int(starts[a] + pj[a, k])),
+                "weight": float(pw[a, k]), "fixed": bool(pfx[a, k]),
+                "shared": False,
+            })
+        real_s = sk[a] > 0
+        for k in np.nonzero(real_s)[0]:
+            local_g = int(starts[a] + sidx[a, k])
+            nbr_g = int(starts[snr[a, k]] + pub[snr[a, k], sns[a, k]])
+            pair = ((local_g, nbr_g) if sout[a, k] else (nbr_g, local_g))
+            out.append({
+                "pair": pair, "weight": float(sw[a, k]),
+                "fixed": bool(sfx[a, k]), "shared": True,
+            })
+    return out
+
+
 def make_run_fn(problem: SPMDProblem, cfg: SPMDConfig, mesh: Optional[Mesh] = None):
     """Build a fully-jitted run-to-tolerance driver: the entire RBCD
     optimization — all rounds, including nested RTR/tCG — is ONE compiled XLA

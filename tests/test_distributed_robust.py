@@ -245,3 +245,39 @@ def test_elastic_membership():
     # re-activation requires neighbor poses again
     agent.set_robot_active(1, True)
     assert not agent.pose_graph.data_matrices_ready()
+
+
+def test_planted_outlier_scoring_pipeline():
+    """plant_outliers + edge_weight_table, the dataset-scale GNC evaluation
+    plumbing (bench.py intel-gnc-outliers): on a synthetic city world with
+    10% planted full-confidence outlier loop closures, distributed GNC-TLS
+    rejects every planted edge and no clean one (recall = precision = 1)."""
+    from dpgo_tpu.datasets import plant_outliers, synthesize_city2d
+    from dpgo_tpu.ops import lifted
+    from dpgo_tpu.parallel import spmd
+    from dpgo_tpu.parallel.spmd import SPMDConfig
+    from dpgo_tpu.solvers.pgo import chordal_initialization
+
+    edges, n, _ = synthesize_city2d(200, seed=3)
+    meas = edges.to_measurements()
+    meas_c, planted = plant_outliers(meas, n, frac=0.10, seed=5)
+    assert planted and all(
+        (p not in {(m.p1, m.p2) for m in meas}) for p in planted
+    )
+    d, r, agents = 2, 3, 2
+    T = chordal_initialization(meas_c)
+    problem, ranges = spmd.build_spmd_problem(meas_c, n, num_agents=agents, r=r)
+    Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
+    X0 = np.einsum("rd,nde->nre", Y_lift, T)
+    state = spmd.initial_state(problem, X0, ranges)
+    cfg = SPMDConfig(mode="all", acceleration=False, rtr_iterations=1)
+    problem_out, state_out, _hist = spmd.run_rbcd_gnc(
+        problem, state, cfg, barc=5.0, num_weight_updates=8, inner_rounds=15
+    )
+    # the recovered edge table covers exactly the real edge set
+    table = spmd.edge_weight_table(problem_out, ranges)
+    pairs = {e["pair"] for e in table}
+    assert {(m.p1, m.p2) for m in meas_c} == pairs
+    by_pair = {e["pair"]: e["weight"] for e in table if not e["fixed"]}
+    rejected = {p for p, w in by_pair.items() if w < 1e-6}
+    assert rejected == planted
