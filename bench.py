@@ -287,7 +287,11 @@ def run_city10000():
             tol=1e-6 if _mixed else 1e-10, maxiter=1000,
         )
     )
-    problem, ranges = spmd.build_spmd_problem(meas, n, num_agents=agents, r=r)
+    # f32 problem: the anchored delta engine is the f32-state design (its
+    # accuracy comes from residual anchoring, certified in host f64 below)
+    problem, ranges = spmd.build_spmd_problem(
+        meas, n, num_agents=agents, r=r, dtype=jnp.float32
+    )
     Y_lift = np.asarray(lifted.fixed_stiefel_variable(d, r))
     X0 = np.einsum("rd,nde->nre", Y_lift, T)
     state = spmd.initial_state(problem, X0, ranges)
@@ -298,26 +302,49 @@ def run_city10000():
         rtr_inner_dtype="float32" if mixed else None,
         adaptive_restart=True,
     )
-    # two-phase mixed driver: the f32 phase's gradnorm floor scales with the
-    # problem's magnitudes and sits right at city10000's 0.1 tolerance
-    run_fn = spmd.make_two_phase_run_fn(problem, cfg, mesh=None)
-    s_warm = run_fn.warmup(state)
-    np.asarray(s_warm.X)
+    # To-tolerance endpoint (the reference example's stop rule is the
+    # GLOBAL gradnorm < 0.1, MultiRobotExample.cpp:229): the anchored delta
+    # engine with the 'exact' restart signal and a SHALLOW tCG cap drives
+    # the block-coordinate tail straight through the 0.5 gradnorm floor the
+    # r4 bench stalled at. The shallow cap is the round-5 finding (PERF.md
+    # §round-5): deep tCG against stale neighbor blocks over-solves the
+    # local subproblem — at city2d-100k a cap of 3 HALVES the global round
+    # count vs 20 — so it is part of the schedule, applied on every
+    # platform. The endpoint is certified on the host in f64 (honest metric,
+    # independent of device precision), with the duality gap against the
+    # dataset's dual-certified optimum 638.6246 (docs/PARITY.md).
+    from dpgo_tpu.parallel import delta as delta_mod
+
+    import dataclasses as _dc
+
+    cfg = _dc.replace(
+        cfg, rtr_tcg_iterations=3, restart_scheme="exact",
+        restart_interval=1_000_000, nesterov_n=5,
+        rtr_inner_dtype=None,
+    )
+    X0_stacked = np.asarray(state.X, np.float64)
+    # warmup execution: compile the fused delta chunk once (the headline
+    # configs also exclude one-time XLA compilation)
+    delta_mod.run_delta_certified(
+        problem, X0_stacked, cfg, tol=0.9 * tol, mesh=None, chunk=250,
+        max_rounds=1,
+    )
     t0 = time.perf_counter()
-    # rel-change termination (the reference's readyToTerminate gate uses
-    # maxTranslationDistance too, PGOAgent.cpp:402-421): on city10000 the
-    # RBCD gradnorm tail is long — the team stops once poses stop moving.
-    # Tighter than the reference's 5e-3 agent default: with a chordal init
-    # the per-round translation movement is small from the start.
-    state, metrics, rounds = run_fn(state, 1000, tol, rel_tol=1e-4)
-    g = float(metrics.gradnorm)
-    np.asarray(state.X)
+    # measured budget: the 5-agent tail crosses 0.1 at ~5k delta rounds
+    # (~0.02 s/round fused; the r4 bench's 1000-round cap stalled at 0.52)
+    X_final, info = delta_mod.run_delta_certified(
+        problem, X0_stacked, cfg, tol=0.9 * tol, mesh=None, chunk=250,
+        max_rounds=12000, crash_retries=3,
+    )
+    cost_h, gn_h = delta_mod.host_certify(problem, X_final)
+    optimum = 638.6246  # dual-certified (tests/test_certify.py)
     return {
         "elapsed_s": round(time.perf_counter() - t0, 2),
-        "rounds": rounds,
-        "gradnorm": round(g, 5),
-        "cost": round(float(metrics.cost), 3),
-        "max_rel_change": round(float(metrics.max_rel_change), 6),
+        "rounds": info["rounds"],
+        "gradnorm": round(gn_h, 5),
+        "cost": round(cost_h, 4),
+        "cost_gap_vs_certified_optimum": round((cost_h - optimum) / optimum, 7),
+        "to_tolerance": bool(gn_h < tol),
     }
 
 

@@ -69,30 +69,42 @@ def main():
         if not os.path.exists(path):
             print(f"{name}: MISSING", flush=True)
             continue
+        # Budget knobs (defaults reproduce the round-5 base sweep). The
+        # rigorous lower bound is min(lmin(B'SB), lambda_defl - res) - |PSB|:
+        # |PSB| scales with the stationarity error (push gn down via
+        # DPGO_CERT_GN_TOL / more attempts) and `res` with the Lanczos +
+        # refinement budget (DPGO_CERT_K / DPGO_CERT_REFINE).
+        gn_tol = float(os.environ.get("DPGO_CERT_GN_TOL", "1e-6"))
+        attempts = int(os.environ.get("DPGO_CERT_ATTEMPTS", "4"))
+        cert_k = int(os.environ.get("DPGO_CERT_K", "64"))
+        refine = int(os.environ.get("DPGO_CERT_REFINE", "400"))
+        shift = float(os.environ.get("DPGO_CERT_SHIFT", "0.1"))
         t0 = time.time()
         meas, n = read_g2o_file(path)
         d = meas[0].d
         edges = EdgeArrays.from_measurements(meas)
         problem = quadratic.from_private_measurements(edges, n=n, d=d)
         qd = quadratic.build_quadratic_data(
-            problem, jnp.zeros((1, r, d + 1)), r=r, precond="auto"
+            problem, jnp.zeros((1, r, d + 1)), r=r, precond="auto",
+            precond_shift=shift,
         )
         T = chordal_initialization(meas)
         Y = np.asarray(lifted.fixed_stiefel_variable(d, r))
         X = jnp.asarray(np.einsum("rd,nde->nre", Y, T))
         gn = np.inf
-        for attempt in range(4):
+        for attempt in range(attempts):
             X, stats = rtr_mod.rtr_solve(
-                qd, X, gradnorm_tol=1e-6,
+                qd, X, gradnorm_tol=gn_tol,
                 initial_radius=100.0 if attempt == 0 else 1.0,
                 max_iterations=300, max_inner=500,
             )
             gn = float(stats.gnorm_opt)
-            if gn < 1e-6:
+            if gn < gn_tol:
                 break
         t_solve = time.time() - t0
         t0 = time.time()
-        res = certify.min_eig_certificate(qd, X, k=64, eta=1e-5)
+        res = certify.min_eig_certificate(qd, X, k=cert_k, eta=1e-5,
+                                          refine_iters=refine)
         print(
             f"{name}: n={n} d={d} r={r} cost={2 * float(stats.f_opt):.4f} "
             f"gn={gn:.2e} lambda_min={res.lambda_min:.3e} "
