@@ -101,7 +101,12 @@ def main():
               f"{float(stats.gnorm_opt):.3e} in {time.time() - t0:.0f}s "
               f"({int(stats.tcg_iters)} tCG)", flush=True)
         X = np.asarray(Xp, np.float64)
-    res = certify_mod.certify_solution(meas, jnp.asarray(X), k=k, eta=eta)
+    # at 100k the default refinement budget leaves the eigen-residual (and
+    # hence the rigorous bound) at ~5e-3 even when lambda_min itself is
+    # numerically zero — scale the Rayleigh-quotient refinement with n
+    refine = int(os.environ.get("DPGO_CERT_REFINE", "400"))
+    res = certify_mod.certify_solution(meas, jnp.asarray(X), k=k, eta=eta,
+                                       refine_iters=refine)
     print(
         f"CERTIFICATE world={world} n={n} lambda_min={res.lambda_min:.3e} "
         f"lambda_min_lower={res.lambda_min_lower:.3e} "

@@ -140,7 +140,15 @@ def main():
         # 20 is ~23% cheaper per round than 50 for near-identical per-round
         # progress at 100k; adaptive-restart-only + nesterov_n=5 cut
         # rounds-to-tol ~19% at 10k and 686 -> 471 at 100k.
-        rtr_tcg_iterations=int(os.environ.get("DPGO_SCALE_TCG_ITERS", "20")),
+        # tCG cap by world (round-5 finding, docs/PERF.md §round-5): on the
+        # city graph the Steihaug theta-rule sends tail rounds to the cap,
+        # and deep block-local steps against stale neighbors also DOUBLE the
+        # global round count — cap 3 certified city2d-100k in 94.4 s vs
+        # 453.3 s at cap 20 (CPU f64 shows the same 424-round schedule).
+        # The lattice keeps 20 (lane-fed tCG is cheap there; 133 vs 143
+        # rounds at 10k). A schedule knob: applied on EVERY platform.
+        rtr_tcg_iterations=int(os.environ.get(
+            "DPGO_SCALE_TCG_ITERS", "3" if world == "city2d" else "20")),
         restart_interval=int(
             os.environ.get("DPGO_SCALE_RESTART_INT", "1000000")),
         nesterov_n=(lambda v: None if v == "" else int(v))(
