@@ -533,7 +533,15 @@ def _delta_rtr_step(
         jnp.asarray(False), jnp.asarray(0, jnp.int32), D0,
         jnp.asarray(cfg.rtr_initial_radius, dtype),
     )
-    _acc, _att, D_out, _rad = jax.lax.while_loop(cond, body, init)
+    # pre-apply the first attempt OUTSIDE the while_loop: cond(init) is
+    # always true (accepted=False, attempts=0), so while(cond, body,
+    # body(init)) is exactly equivalent — but the common case (accept on
+    # attempt 1, the Jacobi-parallel steady state) now runs ZERO loop
+    # iterations, so the tCG + cost_grad of the attempt fuse into the
+    # surrounding round instead of sitting behind a while_loop barrier
+    # that forces the carry through HBM (docs/PERF.md round-5 roofline:
+    # loop structure, not arithmetic, is the city-round overhead).
+    _acc, _att, D_out, _rad = jax.lax.while_loop(cond, body, body(init))
     # no optimization needed if already below the local tolerance
     D_out = jnp.where(gnorm0 < cfg.rtr_gradnorm_tol, D0, D_out)
     # eg0 (the ambient Euclidean half-gradient at the evaluation point,

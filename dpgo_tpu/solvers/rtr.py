@@ -21,6 +21,7 @@ problem shape, zero host round-trips per solve.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -37,6 +38,18 @@ _THETA = 1.0
 _KAPPA = 0.1
 _RHO_PRIME = 0.1
 _MAX_SHRINKS = 10  # QuadraticOptimizer.cpp:90 ("total_steps > 10")
+# tCG caps at or below this STATIC bound run fully unrolled (masked steps
+# instead of lax.while_loop): a while_loop body is a fusion barrier — XLA
+# materializes the ~5-array (eta, Heta, r, z, delta) carry in HBM at every
+# iteration boundary and cannot fuse the preconditioner apply into the next
+# Hessian matvec. For the gather-bound tiny-block rounds (city2d tcg cap 3)
+# those barriers are a large share of the measured ~2x structure overhead
+# over the sum-of-primitives bound (docs/PERF.md round-5 roofline). Masked
+# unrolling runs all `max_inner` iterations (early-exit work is discarded by
+# the same `done` predicate the loop would have tested), so it only pays off
+# for small caps where tail rounds hit the cap anyway; larger caps (grid
+# tcg=20, centralized 50+) keep the while_loop and its early exit.
+_TCG_UNROLL = int(os.environ.get("DPGO_TCG_UNROLL", "4"))
 
 
 class TCGResult(NamedTuple):
@@ -146,7 +159,24 @@ def _tcg(
         jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype), z_r0, z_r0,
         jnp.asarray(False), jnp.asarray(False),
     )
-    j, eta, Heta, *_, _done, boundary = jax.lax.while_loop(cond, body, init)
+    if isinstance(max_inner, int) and max_inner <= _TCG_UNROLL:
+        # masked unroll: same body, same order of operations for the
+        # iterations that "run" (bit-identical to the while_loop result);
+        # a step past `done` is computed and discarded by the where. NaNs
+        # from 0/0 in a discarded step cannot leak: jnp.where selects, and
+        # nothing here is differentiated.
+        c = init
+        for _ in range(max_inner):
+            done_prev = c[-2]
+            new = body(c)
+            c = jax.tree.map(
+                lambda o, n_: jnp.where(done_prev, o, n_), c, new
+            )
+        j, eta, Heta, *_, _done, boundary = c
+    else:
+        j, eta, Heta, *_, _done, boundary = jax.lax.while_loop(
+            cond, body, init
+        )
     return TCGResult(eta=eta, Heta=Heta, hit_boundary=boundary, num_iters=j)
 
 
