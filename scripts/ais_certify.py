@@ -78,9 +78,23 @@ def main():
         Y_lift = jnp.asarray(lifted.fixed_stiefel_variable(d, r))
         X = jnp.einsum("rd,nde->nre", Y_lift, T)
 
+    import dataclasses as _dc
+
     qd = quadratic.build_quadratic_data(
         problem, jnp.zeros((1, r, d + 1)), r=r, precond="banded",
         precond_shift=shift,
+    )
+    # cancellation-free control: at gn ~1e-3 the per-block cost decrease is
+    # ~1e-9·|f| — far below f64's eps·|f| resolution of the plain
+    # f(X')−f(X) subtraction, so rho flips sign on rounding noise and RTR
+    # rejects every step (observed: consecutive blocks bit-identical at
+    # gn 2.4e-3). residual_control computes decreases from the identity
+    # 0.5<step, eg+eg'> (accurate to eps·|residual|), the same machinery the
+    # f32 scale path certifies with.
+    qd = _dc.replace(
+        qd, res=quadratic.build_residual_data(
+            problem, jnp.zeros((1, r, d + 1))
+        )
     )
     print(f"shift={shift} max_inner={max_inner} tol={tol} "
           f"banded={qd.btf is not None}", flush=True)
@@ -93,6 +107,7 @@ def main():
             qd, X, gradnorm_tol=tol,
             initial_radius=100.0 if blk == 0 else 1.0,
             max_iterations=25, max_inner=max_inner,
+            residual_control=True,
         )
         gn = float(stats.gnorm_opt)
         # atomic checkpoint: a crash mid-write must not corrupt the very

@@ -168,8 +168,12 @@ m_gather = int(m_real * (1 - lane_cover)) + ms_real
 #   applies, 3 projections, 2 neighbor gathers (small) are stream terms.
 passes = 3 + TCG
 # the engine processes the PADDED gather arrays (mp per agent), so the
-# achievable bound uses the same padded volume the kernels actually move
-t_indexed = passes * g_t
+# achievable bound uses the same padded volume the kernels actually move.
+# Each pass touches BOTH endpoints of every edge: Df[pi] and Df[pj] reads,
+# G.at[pi].add and G.at[pj].add writes (_delta_cost_grad; q_matvec's gather
+# path is the same shape) — the measured primitive does one gather + one
+# scatter per rep, so a pass costs 2x the primitive.
+t_indexed = passes * 2 * g_t
 t_stream = passes * lane_t + (TCG + 1 + 3) * stream + 3 * proj_t
 bound = t_indexed + t_stream
 print("\n--- account ---")
@@ -177,8 +181,8 @@ print(f"real edges: {m_real + ms_real} ({m_gather} real on the gather "
       f"path; padded {A}x{mp})")
 print(f"matvec-like passes/round: {passes} (2 cost_grad + QW + {TCG} "
       f"hessvec)")
-print(f"indexed term: {passes} x {g_t * 1000:.2f} ms = "
-      f"{t_indexed * 1000:.1f} ms")
+print(f"indexed term: {passes} x 2 x {g_t * 1000:.2f} ms = "
+      f"{t_indexed * 1000:.1f} ms (2 gathers + 2 scatters per pass)")
 print(f"stream terms (lanes {passes}x{lane_t * 1000:.2f} + precond/nbr "
       f"{TCG + 4}x{stream * 1000:.2f} + proj 3x{proj_t * 1000:.2f}): "
       f"{t_stream * 1000:.1f} ms")
